@@ -1,0 +1,193 @@
+"""ACM layers — one implementation replacing the reference's three copies.
+
+The reference carries three near-identical ``GraphConvolution`` classes
+(/root/reference/ACM-Pytorch/models/layers.py:14-232,
+/root/reference/ACM-Geometric/layers.py:13-120,
+/root/reference/synthetic-experiments/baseline_models/layers.py:11-154) whose
+only behavioral drift is whether LayerNorm fires before the channel
+attention.  Here a single ``ACMConv`` is parameterized by
+``(model_type, variant, structure_info, use_layernorm)``.
+
+Math contract (mirrors /root/reference/ACM-Pytorch/models/layers.py:94-232):
+
+- channels:  H_L = A_hat (X W_L),  H_H = (I - A_hat)(X W_H),  H_I = X W_I
+  with ReLU placed per variant (ACM: after propagation; ACMII/``variant``:
+  before propagation), identity channel always ``relu(X W_I)``;
+- attention: ``alpha = softmax(sigmoid([H_L a_L || H_H a_H || H_I a_I])
+  W_att / T, axis=1)`` with T = number of channels (3 or 4);
+- output:    ``3 * sum_i alpha_i * H_i`` (3-channel) or ``1 * sum_i`` with
+  the structure channel ``H_S = relu(A S)`` (4-channel, acmgcnp/pp with
+  ``structure_info``);
+- init:      U(-1/sqrt(F_out)) for channel weights / S, U(-1, 1) for the
+  per-channel attention vectors, U(-1/sqrt(T)) for W_att
+  (/root/reference/ACM-Pytorch/models/layers.py:70-92).
+
+Known reference quirk, resolved deliberately (SURVEY.md §2.10): the
+LayerNorm-before-attention branch is dead code in ACM-Pytorch (string
+mismatch ``"acmgcn+"`` vs ``"acmgcnp"``) but live in ACM-Geometric.  We
+expose it as ``use_layernorm`` so either pipeline's behavior is selectable.
+
+High-pass products use ``spmm_high`` (``z - A_hat z``) — the explicit
+``I - A_hat`` operator is never materialized.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from acmgnn_tpu.ops.graph import Operators
+from acmgnn_tpu.ops.spmm import spmm, spmm_high
+
+
+def _uniform(scale: float):
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, minval=-scale, maxval=scale)
+
+    return init
+
+
+class ACMConv(nn.Module):
+    """Adaptive Channel Mixing graph convolution.
+
+    One layer == three (or four) parallel filter channels mixed per node by
+    a learned softmax over channel scores.
+    """
+
+    out_features: int
+    model_type: str = "acmgcn"      # acmgcn|acmgcnp|acmgcnpp|acmsgc|acmsnowball|gcn|sgc|mlp
+    variant: bool = False           # ACMII: ReLU before propagation
+    structure_info: bool = False    # 4th structure channel (acmgcnp/pp only)
+    use_layernorm: bool = False     # LN on channel outputs feeding attention
+    nnodes: Optional[int] = None    # required when structure_info (for S)
+
+    def _attention(self, channels: list[jnp.ndarray]) -> jnp.ndarray:
+        """Per-node softmax mixing weights, [N, T]."""
+        t = len(channels)
+        names = ["low", "high", "mlp", "struc_low"][:t]
+        if self.use_layernorm:
+            lns = [
+                nn.LayerNorm(name=f"layer_norm_{names[i]}")(channels[i])
+                for i in range(t)
+            ]
+        else:
+            lns = channels
+        att_vecs = [
+            self.param(f"att_vec_{names[i]}", _uniform(1.0), (lns[i].shape[-1], 1))
+            for i in range(t)
+        ]
+        scores = jnp.concatenate(
+            [lns[i] @ att_vecs[i] for i in range(t)], axis=1
+        )  # [N, T]
+        att_mix = self.param("att_vec", _uniform(1.0 / jnp.sqrt(t).item()), (t, t))
+        logits = (jax.nn.sigmoid(scores) @ att_mix) / t
+        return jax.nn.softmax(logits, axis=1)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, ops: Operators) -> jnp.ndarray:
+        f_in = x.shape[-1]
+        f_out = self.out_features
+        w_init = _uniform(1.0 / float(f_out) ** 0.5)
+
+        if self.model_type == "mlp":
+            w_mlp = self.param("weight_mlp", w_init, (f_in, f_out))
+            return x @ w_mlp
+
+        if self.model_type in ("sgc", "gcn"):
+            w_low = self.param("weight_low", w_init, (f_in, f_out))
+            return spmm(ops.adj_low, x @ w_low)
+
+        w_low = self.param("weight_low", w_init, (f_in, f_out))
+        w_high = self.param("weight_high", w_init, (f_in, f_out))
+        w_mlp = self.param("weight_mlp", w_init, (f_in, f_out))
+
+        if self.model_type == "acmsgc":
+            # No ReLU anywhere (/root/reference/ACM-Pytorch/models/layers.py:162-174).
+            # Note ops.adj_hp: with hops > 1 the low-pass is A_hat^k but the
+            # high-pass stays I - A_hat (reference computes adj_high before
+            # exponentiating, /root/reference/ACM-Pytorch/utils.py:626-637).
+            h_low = spmm(ops.adj_low, x @ w_low)
+            h_high = spmm_high(ops.adj_hp, x @ w_high)
+            h_mlp = x @ w_mlp
+            att = self._attention([h_low, h_high, h_mlp])
+            return 3.0 * (
+                att[:, 0:1] * h_low + att[:, 1:2] * h_high + att[:, 2:3] * h_mlp
+            )
+
+        # acmgcn / acmgcnp / acmgcnpp / acmsnowball
+        if self.variant:  # ACMII: propagate post-activation features
+            h_low = spmm(ops.adj_low, jax.nn.relu(x @ w_low))
+            h_high = spmm_high(ops.adj_hp, jax.nn.relu(x @ w_high))
+        else:
+            h_low = jax.nn.relu(spmm(ops.adj_low, x @ w_low))
+            h_high = jax.nn.relu(spmm_high(ops.adj_hp, x @ w_high))
+        h_mlp = jax.nn.relu(x @ w_mlp)
+
+        use_structure = (
+            self.structure_info
+            and self.model_type in ("acmgcnp", "acmgcnpp")
+            and ops.adj_unnorm is not None
+        )
+        if use_structure:
+            if self.nnodes is None:
+                raise ValueError("structure_info requires nnodes")
+            s = self.param("struc_low", w_init, (self.nnodes, f_out))
+            h_struc = jax.nn.relu(spmm(ops.adj_unnorm, s))
+            att = self._attention([h_low, h_high, h_mlp, h_struc])
+            return 1.0 * (
+                att[:, 0:1] * h_low
+                + att[:, 1:2] * h_high
+                + att[:, 2:3] * h_mlp
+                + att[:, 3:4] * h_struc
+            )
+
+        att = self._attention([h_low, h_high, h_mlp])
+        return 3.0 * (
+            att[:, 0:1] * h_low + att[:, 1:2] * h_high + att[:, 2:3] * h_mlp
+        )
+
+
+class MLPBlock(nn.Module):
+    """Plain MLP with BatchNorm, used as the acmgcnpp input-skip network
+    (/root/reference/ACM-Pytorch/models/layers.py:245-285).
+
+    ``num_layers == 1`` degenerates to a single Linear (logistic
+    regression) — the reference's default ``init_layers_X = 1`` path.
+    """
+
+    hidden_channels: int
+    out_channels: int
+    num_layers: int = 1
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, training: bool = False) -> jnp.ndarray:
+        def dense(features, name):
+            # torch nn.Linear default init: U(-1/sqrt(fan_in), 1/sqrt(fan_in))
+            fan_in = x_cur.shape[-1]
+            bound = 1.0 / float(fan_in) ** 0.5
+            return nn.Dense(
+                features,
+                kernel_init=_uniform(bound),
+                bias_init=_uniform(bound),
+                name=name,
+            )
+
+        x_cur = x
+        if self.num_layers == 1:
+            return dense(self.out_channels, "lin_0")(x_cur)
+
+        for i in range(self.num_layers - 1):
+            x_cur = dense(self.hidden_channels, f"lin_{i}")(x_cur)
+            x_cur = jax.nn.relu(x_cur)
+            x_cur = nn.BatchNorm(
+                use_running_average=not training,
+                momentum=0.9,
+                epsilon=1e-5,
+                name=f"bn_{i}",
+            )(x_cur)
+            x_cur = nn.Dropout(rate=self.dropout, deterministic=not training)(x_cur)
+        return dense(self.out_channels, f"lin_{self.num_layers - 1}")(x_cur)

@@ -1,0 +1,115 @@
+"""ACM-GNN model zoo.
+
+One ``ACMGNN`` container replaces the reference's three copy-pasted ``GCN``
+classes (/root/reference/ACM-Pytorch/models/models.py:25-166,
+/root/reference/ACM-Geometric/models.py:23-76,
+/root/reference/synthetic-experiments/baseline_models/models.py:6-39).
+
+Stacks per ``model_type`` (matching the reference where it works):
+
+- ``acmgcn``/``acmgcnp``/``acmgcnpp``: dropout(x) -> ACMConv(F->H) -> relu
+  -> dropout -> ACMConv(H->C); ``acmgcnpp`` additionally feeds
+  ``dropout(relu(mlpX(x)))`` as a skip into the second layer
+  (/root/reference/ACM-Pytorch/models/models.py:106-166).
+- ``acmsgc``: dropout(x) -> single no-ReLU ACMConv(F->C) over ``A_hat^k``.
+  (The reference's main-package forward returns an unbound variable here —
+  a latent crash; we return the single layer's output, matching the
+  synthetic package's working implementation.)
+- ``acmsnowball``: densely-concatenated snowball stacking
+  (/root/reference/ACM-Pytorch/models/models.py:123-150).
+- ``gcn``/``mlp``: working 2-layer baselines; ``sgc``: 1-layer linear on the
+  propagated features (/root/reference/synthetic-experiments/
+  baseline_models/models.py:6-39 — the main package's CLI lists these but
+  crashes; here they work everywhere).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from acmgnn_tpu.models.layers import ACMConv, MLPBlock
+from acmgnn_tpu.ops.graph import Operators
+
+MODEL_TYPES = (
+    "acmgcn",
+    "acmgcnp",
+    "acmgcnpp",
+    "acmsgc",
+    "acmsnowball",
+    "gcn",
+    "sgc",
+    "mlp",
+)
+
+_ACM_FAMILY = ("acmgcn", "acmgcnp", "acmgcnpp", "acmsgc", "acmsnowball")
+
+
+class ACMGNN(nn.Module):
+    """Model container dispatching on ``model_type``."""
+
+    nhid: int
+    nclass: int
+    model_type: str = "acmgcn"
+    nlayers: int = 1                 # acmsnowball depth
+    dropout: float = 0.5
+    variant: bool = False
+    structure_info: bool = False
+    use_layernorm: bool = False      # LN-pre-attention (geometric pipeline)
+    nnodes: Optional[int] = None     # required when structure_info
+    init_layers_X: int = 1           # acmgcnpp skip-MLP depth
+
+    def _conv(self, out_features: int, name: str) -> ACMConv:
+        return ACMConv(
+            out_features=out_features,
+            model_type=self.model_type,
+            variant=self.variant,
+            structure_info=self.structure_info,
+            use_layernorm=self.use_layernorm,
+            nnodes=self.nnodes,
+            name=name,
+        )
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, ops: Operators, *, training: bool = False
+    ) -> jnp.ndarray:
+        if self.model_type not in MODEL_TYPES:
+            raise ValueError(f"unknown model_type: {self.model_type!r}")
+
+        drop = lambda h: nn.Dropout(rate=self.dropout, deterministic=not training)(h)
+
+        if self.model_type in _ACM_FAMILY:
+            x = drop(x)
+
+        if self.model_type == "acmgcnpp":
+            mlp_x = MLPBlock(
+                hidden_channels=self.nhid,
+                out_channels=self.nhid,
+                num_layers=self.init_layers_X,
+                dropout=0.0,
+                name="mlpX",
+            )(x, training=training)
+            xx = drop(jax.nn.relu(mlp_x))
+
+        if self.model_type == "acmsnowball":
+            blocks = []
+            for k in range(self.nlayers):
+                inp = jnp.concatenate([x] + blocks, axis=1) if blocks else x
+                out = self._conv(self.nhid, f"gcn_{k}")(inp, ops)
+                blocks.append(drop(jax.nn.relu(out)))
+            final_in = jnp.concatenate([x] + blocks, axis=1)
+            return self._conv(self.nclass, f"gcn_{self.nlayers}")(final_in, ops)
+
+        if self.model_type in ("acmsgc", "sgc"):
+            return self._conv(self.nclass, "gcn_0")(x, ops)
+
+        # 2-layer stacks: acmgcn / acmgcnp / acmgcnpp / gcn / mlp
+        fea1 = self._conv(self.nhid, "gcn_0")(x, ops)
+        fea1 = drop(jax.nn.relu(fea1))
+        if self.model_type == "acmgcnpp":
+            fea1 = fea1 + xx
+        return self._conv(self.nclass, "gcn_1")(fea1, ops)

@@ -1,0 +1,86 @@
+"""SpMM — the single hot kernel of the ACM-GNN family.
+
+The reference delegates this to ``torch.spmm`` (CUDA COO SpMM; call sites
+/root/reference/ACM-Pytorch/models/layers.py:163-194). On TPU:
+
+- Dense operators ride the MXU directly (``A_hat @ x`` is a plain matmul —
+  for the small/medium heterophily benchmarks this is speed-of-light).
+- COO operators use gather + ``segment_sum``; the backward pass is
+  ``A^T g``, which is *its own* sorted-COO SpMM over the transpose triplets
+  precomputed on host (``CooOp.row_t/col_t/val_t``).  A ``jax.custom_vjp``
+  wires the two together, so the autodiff graph never materializes a
+  scatter-transpose.
+
+The high-pass product ``(I - A_hat) z`` is always computed as
+``z - spmm(adj_low, z)`` (``spmm_high``) — same math as the reference's
+explicit ``adj_high`` operand, half the sparse work.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from acmgnn_tpu.ops.graph import CooOp, DenseOp, SparseOp
+
+
+# ---------------------------------------------------------------------------
+# COO SpMM with custom VJP
+# ---------------------------------------------------------------------------
+
+
+def _coo_matvec_rows(row, col, val, x, num_nodes):
+    """segment-sum SpMM core: out[r] = sum_{k: row[k]==r} val[k] * x[col[k]]."""
+    gathered = jnp.take(x, col, axis=0) * val[:, None]
+    return jax.ops.segment_sum(
+        gathered,
+        row,
+        num_segments=num_nodes,
+        indices_are_sorted=True,
+    )
+
+
+@jax.custom_vjp
+def _coo_spmm(op: CooOp, x: jnp.ndarray) -> jnp.ndarray:
+    return _coo_matvec_rows(op.row, op.col, op.val, x, op.num_nodes)
+
+
+def _coo_spmm_fwd(op, x):
+    return _coo_spmm(op, x), op
+
+
+def _coo_spmm_bwd(op, g):
+    # d/dx [A x] = A^T g — a forward-structured SpMM over the transpose.
+    dx = _coo_matvec_rows(op.row_t, op.col_t, op.val_t, g, op.num_nodes)
+    # The operator itself is data, not a differentiable parameter.
+    zero_op = jax.tree_util.tree_map(jnp.zeros_like, op)
+    return zero_op, dx
+
+
+_coo_spmm.defvjp(_coo_spmm_fwd, _coo_spmm_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+
+def spmm(op: SparseOp, x: jnp.ndarray) -> jnp.ndarray:
+    """``op @ x`` for any supported operator format."""
+    if isinstance(op, DenseOp):
+        return jnp.dot(op.mat, x, preferred_element_type=x.dtype)
+    if isinstance(op, CooOp):
+        return _coo_spmm(op, x)
+    raise TypeError(f"unsupported operator type: {type(op)!r}")
+
+
+def spmm_high(op_low: SparseOp, x: jnp.ndarray) -> jnp.ndarray:
+    """``(I - A_hat) @ x`` computed as ``x - A_hat @ x``.
+
+    Bit-for-bit this differs from the reference's explicit ``adj_high``
+    SpMM only in floating-point association; mathematically identical
+    (adj_high construction: /root/reference/ACM-Pytorch/utils.py:622,627).
+    """
+    return x - spmm(op_low, x)

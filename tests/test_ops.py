@@ -1,0 +1,160 @@
+"""Operator precompute + SpMM kernel tests (SURVEY.md §4 test strategy)."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+
+from acmgnn_tpu.ops.graph import (
+    high_pass,
+    k_hop,
+    make_coo_op,
+    make_dense_op,
+    precompute_operators,
+    row_normalize,
+    row_normalized_adjacency,
+    sym_normalized_adjacency,
+)
+from acmgnn_tpu.ops.spmm import spmm, spmm_high
+
+
+def test_row_normalized_adjacency_rowsums(small_graph):
+    adj, _, _ = small_graph
+    a_hat = row_normalized_adjacency(adj)
+    rowsums = np.asarray(a_hat.sum(axis=1)).flatten()
+    # With the added self-loop every row sums to exactly 1.
+    np.testing.assert_allclose(rowsums, 1.0, atol=1e-12)
+
+
+def test_row_normalize_zero_rows():
+    mat = sp.csr_matrix(np.array([[0.0, 0.0], [1.0, 3.0]]))
+    out = row_normalize(mat).todense()
+    np.testing.assert_allclose(np.asarray(out), [[0.0, 0.0], [0.25, 0.75]])
+
+
+def test_sym_normalized_adjacency(small_graph):
+    adj, _, _ = small_graph
+    a_sym = sym_normalized_adjacency(adj)
+    # symmetric input + self-loops => symmetric operator
+    diff = np.abs((a_sym - a_sym.T)).max()
+    assert diff < 1e-12
+    # eigenvalues of D^-1/2 (A+I) D^-1/2 lie in [-1, 1+eps]
+    eigs = np.linalg.eigvalsh(np.asarray(a_sym.todense()))
+    assert eigs.max() <= 1.0 + 1e-8
+
+
+def test_high_pass_identity(small_graph):
+    adj, _, _ = small_graph
+    a_hat = row_normalized_adjacency(adj)
+    hp = high_pass(a_hat)
+    np.testing.assert_allclose(
+        np.asarray((hp + a_hat).todense()),
+        np.eye(adj.shape[0]),
+        atol=1e-12,
+    )
+
+
+def test_k_hop_matches_matrix_power(small_graph):
+    adj, _, _ = small_graph
+    a_hat = row_normalized_adjacency(adj)
+    a3 = k_hop(a_hat, 3)
+    expected = np.linalg.matrix_power(np.asarray(a_hat.todense()), 3)
+    np.testing.assert_allclose(np.asarray(a3.todense()), expected, atol=1e-10)
+
+
+@pytest.mark.parametrize("make_op", [make_dense_op, make_coo_op])
+def test_spmm_matches_dense(small_graph, make_op):
+    adj, features, _ = small_graph
+    a_hat = row_normalized_adjacency(adj)
+    op = make_op(a_hat)
+    x = jnp.asarray(features)
+    got = np.asarray(spmm(op, x))
+    want = np.asarray(a_hat.todense()) @ features
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("make_op", [make_dense_op, make_coo_op])
+def test_spmm_high_matches_explicit(small_graph, make_op):
+    adj, features, _ = small_graph
+    a_hat = row_normalized_adjacency(adj)
+    op = make_op(a_hat)
+    x = jnp.asarray(features)
+    got = np.asarray(spmm_high(op, x))
+    want = np.asarray(high_pass(a_hat).todense()) @ features
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("make_op", [make_dense_op, make_coo_op])
+def test_spmm_gradient(small_graph, make_op):
+    """Backward must be A^T g (transpose SpMM) — checked against dense."""
+    adj, features, _ = small_graph
+    a_hat = row_normalized_adjacency(adj)
+    op = make_op(a_hat)
+    x = jnp.asarray(features)
+    w = jnp.asarray(
+        np.random.default_rng(1).normal(size=(features.shape[1],)).astype(np.float32)
+    )
+
+    def loss(x_):
+        return jnp.sum(spmm(op, x_) * w[None, :] ** 2)
+
+    got = np.asarray(jax.grad(loss)(x))
+    dense = np.asarray(a_hat.todense())
+    want = dense.T @ np.broadcast_to(
+        np.asarray(w) ** 2, features.shape
+    ).astype(np.float32)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_coo_padding_is_inert(small_graph):
+    """Padded nnz slots (row = N sentinel, val = 0) must not change results."""
+    adj, features, _ = small_graph
+    a_hat = row_normalized_adjacency(adj)
+    op_tight = make_coo_op(a_hat, pad_multiple=1)
+    op_padded = make_coo_op(a_hat, pad_multiple=4096)
+    assert op_padded.row.shape[0] == 4096
+    x = jnp.asarray(features)
+    np.testing.assert_allclose(
+        np.asarray(spmm(op_tight, x)), np.asarray(spmm(op_padded, x)), atol=1e-6
+    )
+
+
+def test_precompute_operators_auto_format(small_graph):
+    adj, _, _ = small_graph
+    ops_dense = precompute_operators(adj, fmt="auto", dense_threshold=1000)
+    ops_coo = precompute_operators(adj, fmt="auto", dense_threshold=10)
+    assert type(ops_dense.adj_low).__name__ == "DenseOp"
+    assert type(ops_coo.adj_low).__name__ == "CooOp"
+
+
+def test_precompute_hops_keeps_1hop_high_pass(small_graph):
+    """acmsgc quirk: adj_low = A_hat^k but high-pass stays I - A_hat
+    (/root/reference/ACM-Pytorch/utils.py:626-637)."""
+    adj, features, _ = small_graph
+    ops = precompute_operators(adj, hops=3, fmt="dense")
+    a_hat = row_normalized_adjacency(adj)
+    x = jnp.asarray(features)
+    want_low = np.linalg.matrix_power(np.asarray(a_hat.todense()), 3) @ features
+    want_high = np.asarray(high_pass(a_hat).todense()) @ features
+    np.testing.assert_allclose(
+        np.asarray(spmm(ops.adj_low, x)), want_low, rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(spmm_high(ops.adj_hp, x)), want_high, rtol=1e-4, atol=1e-5
+    )
+
+
+def test_operators_pytree_roundtrip(small_graph):
+    """Operators must be a jit-able pytree (static metadata preserved)."""
+    adj, features, _ = small_graph
+    ops = precompute_operators(adj, fmt="coo")
+    x = jnp.asarray(features)
+
+    @jax.jit
+    def f(ops_, x_):
+        return spmm(ops_.adj_low, x_) + spmm_high(ops_.adj_hp, x_)
+
+    out = f(ops, x)
+    assert out.shape == features.shape
