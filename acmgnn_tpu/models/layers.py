@@ -33,6 +33,7 @@ High-pass products use ``spmm_high`` (``z - A_hat z``) — the explicit
 
 from __future__ import annotations
 
+import math
 from typing import Optional
 
 import jax
@@ -82,7 +83,7 @@ class ACMConv(nn.Module):
         scores = jnp.concatenate(
             [lns[i] @ att_vecs[i] for i in range(t)], axis=1
         )  # [N, T]
-        att_mix = self.param("att_vec", _uniform(1.0 / jnp.sqrt(t).item()), (t, t))
+        att_mix = self.param("att_vec", _uniform(1.0 / math.sqrt(t)), (t, t))
         logits = (jax.nn.sigmoid(scores) @ att_mix) / t
         return jax.nn.softmax(logits, axis=1)
 

@@ -1,0 +1,66 @@
+"""Unified training configuration.
+
+One dataclass replaces the reference's three diverging argparse systems
+(/root/reference/ACM-Pytorch/arg_parser.py:4-87,
+/root/reference/ACM-Geometric/parse.py:16-58,
+/root/reference/synthetic-experiments/arg_parser.py:4-95) — including their
+spelling drift (``--dataset_name`` vs ``--dataset``, ``--model`` vs
+``--method``, ``--hidden`` vs ``--hidden_channels``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    # model
+    model_type: str = "acmgcn"
+    hidden: int = 64
+    nlayers: int = 1                  # acmsnowball depth
+    variant: bool = False             # ACMII
+    structure_info: bool = False      # 4th structure channel
+    use_layernorm: Optional[bool] = None  # None => per-pipeline default
+    init_layers_X: int = 1            # acmgcnpp skip-MLP depth
+    hops: int = 1                     # acmsgc k-hop
+
+    # optimization
+    lr: float = 0.05
+    weight_decay: float = 5e-4
+    dropout: float = 0.5
+    epochs: int = 1000
+    early_stopping: int = 200         # 0 disables; mean-val-loss window
+    optimizer: str = "adam"           # "adam" (torch-style L2) | "adamw"
+
+    # protocol
+    selection: str = "val_loss"       # "val_loss" | "val_metric"
+    metric: str = "acc"               # "acc" | "rocauc"
+    loss: str = "nll"                 # "nll" | "bce"
+    num_splits: int = 10
+    fixed_splits: bool = False        # bundled Geom-GCN .npz masks
+    seed: int = 42
+
+    # data/operators
+    normalization: str = "row"        # low-pass normalization
+    operator_format: str = "auto"     # "auto" | "dense" | "coo"
+    feature_normalize: Optional[bool] = None  # None => reference rule
+
+    def resolve_layernorm(self) -> bool:
+        """LN-pre-attention default: live for acmgcnp/pp (the
+        ACM-Geometric behavior and the intended design — in ACM-Pytorch
+        the branch is dead code due to a string mismatch; SURVEY.md
+        §2.10)."""
+        if self.use_layernorm is not None:
+            return self.use_layernorm
+        return self.model_type in ("acmgcnp", "acmgcnpp")
+
+    def resolve_feature_normalize(self) -> bool:
+        """Features are row-normalized unless acmgcnp/pp with
+        structure_info (/root/reference/ACM-Pytorch/utils.py:612-617)."""
+        if self.feature_normalize is not None:
+            return self.feature_normalize
+        return not (
+            self.model_type in ("acmgcnp", "acmgcnpp") and self.structure_info
+        )
