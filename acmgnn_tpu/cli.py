@@ -1,0 +1,234 @@
+"""Unified CLI.
+
+One entry point replacing the reference's three diverging argparse scripts.
+Accepts both spelling families (``--dataset``/``--dataset_name``,
+``--model``/``--method``, ``--hidden``/``--hidden_channels``) so reference
+invocations port over directly.
+
+Subcommands:
+  train       — multi-split training run (ACM-Pytorch/Geometric protocols)
+  sweep       — lr x wd x dropout grid search
+  gen-graphs  — synthetic graph generation over an edge-homophily sweep
+  gen-feats   — synthetic feature realizations from a base dataset
+  homophily   — print homophily metrics for a dataset
+  bench       — benchmark scenarios (delegates to bench.py)
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+
+from acmgnn_tpu.train.config import TrainConfig
+
+
+def _add_train_args(p: argparse.ArgumentParser):
+    p.add_argument("--dataset", "--dataset_name", dest="dataset", default="texas")
+    p.add_argument("--sub_dataset", default="")
+    p.add_argument(
+        "--model", "--method", "--model_type", dest="model", default="acmgcn"
+    )
+    p.add_argument("--hidden", "--hidden_channels", dest="hidden", type=int,
+                   default=64)
+    p.add_argument("--lr", type=float, default=0.05)
+    p.add_argument("--weight_decay", type=float, default=5e-4)
+    p.add_argument("--dropout", type=float, default=0.5)
+    p.add_argument("--epochs", type=int, default=1000)
+    p.add_argument("--early_stopping", type=int, default=200)
+    p.add_argument("--num_splits", "--runs", dest="num_splits", type=int,
+                   default=10)
+    p.add_argument("--fixed_splits", type=int, default=0)
+    p.add_argument("--variant", type=int, default=0)
+    p.add_argument("--structure_info", type=int, default=0)
+    p.add_argument("--layers", "--nlayers", dest="layers", type=int, default=1)
+    p.add_argument("--hops", type=int, default=1)
+    p.add_argument("--link_init_layers_X", type=int, default=1)
+    p.add_argument("--optimizer", choices=["adam", "adamw"], default="adam")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--rocauc", action="store_true")
+    p.add_argument("--selection", choices=["val_loss", "val_metric"],
+                   default=None)
+    p.add_argument("--operator_format", choices=["auto", "dense", "coo"],
+                   default="auto")
+    p.add_argument("--normalization", choices=["row", "sym"], default="row")
+    p.add_argument("--log_dir", default="./logs")
+    p.add_argument("--results_csv", default="")
+
+
+# datasets the reference trains with BCE + ROC-AUC
+ROCAUC_DATASETS = ("yelp-chi", "twitch-e", "ogbn-proteins", "genius")
+# datasets selected on best-val-metric instead of best-val-loss
+VAL_METRIC_DATASETS = ("deezer-europe",) + ROCAUC_DATASETS
+
+
+def config_from_args(args) -> TrainConfig:
+    use_rocauc = args.rocauc or args.dataset in ROCAUC_DATASETS
+    selection = args.selection
+    if selection is None:
+        selection = (
+            "val_metric" if args.dataset in VAL_METRIC_DATASETS else "val_loss"
+        )
+    return TrainConfig(
+        model_type=args.model,
+        hidden=args.hidden,
+        nlayers=args.layers,
+        variant=bool(args.variant),
+        structure_info=bool(args.structure_info),
+        init_layers_X=args.link_init_layers_X,
+        hops=args.hops,
+        lr=args.lr,
+        weight_decay=args.weight_decay,
+        dropout=args.dropout,
+        epochs=args.epochs,
+        early_stopping=args.early_stopping,
+        optimizer=args.optimizer,
+        selection=selection,
+        metric="rocauc" if use_rocauc else "acc",
+        loss="bce" if use_rocauc else "nll",
+        num_splits=args.num_splits,
+        fixed_splits=bool(args.fixed_splits),
+        seed=args.seed,
+        normalization=args.normalization,
+        operator_format=args.operator_format,
+    )
+
+
+def cmd_train(args):
+    from acmgnn_tpu.train.trainer import run_experiment
+    from acmgnn_tpu.utils.logging import ExperimentLogger
+
+    cfg = config_from_args(args)
+    logger = ExperimentLogger(
+        name=f"{args.dataset}_{args.model}", log_dir=args.log_dir
+    )
+    logger.info("config: %s", dataclasses.asdict(cfg))
+    out = run_experiment(args.dataset, cfg, logger=logger)
+    if args.results_csv:
+        logger.append_csv(
+            args.results_csv,
+            {
+                "dataset": out["dataset"],
+                "model": out["model"],
+                "test_mean": round(out["test_mean"], 4),
+                "test_std": round(out["test_std"], 4),
+                "epoch_ms": round(out["epoch_ms_avg"], 2),
+                "config": json.dumps(dataclasses.asdict(cfg)),
+            },
+        )
+    print(json.dumps({k: v for k, v in out.items() if k != "per_split"}))
+
+
+def cmd_sweep(args):
+    from acmgnn_tpu.train.sweep import grid_search
+    from acmgnn_tpu.utils.logging import ExperimentLogger
+
+    cfg = config_from_args(args)
+    logger = ExperimentLogger(
+        name=f"sweep_{args.dataset}_{args.model}", log_dir=args.log_dir
+    )
+    best = grid_search(args.dataset, cfg, logger=logger)
+    print(json.dumps({k: v for k, v in best.items() if k != "per_split"}))
+
+
+def cmd_gen_graphs(args):
+    from acmgnn_tpu.data.synthetic import generate_graphs
+
+    paths = generate_graphs(
+        args.base_dir,
+        graph_type=args.graph_type,
+        edge_homos=args.edge_homos,
+        num_graph=args.num_graph,
+        num_class=args.num_class,
+        node_per_class=args.num_node_total // args.num_class,
+        degree_intra=args.degree_intra,
+        seed=args.seed,
+    )
+    print(f"wrote {len(paths)} graphs under {args.base_dir}")
+
+
+def cmd_gen_feats(args):
+    import numpy as np
+
+    from acmgnn_tpu.data.registry import load_dataset
+    from acmgnn_tpu.data.synthetic import generate_features
+
+    if args.base_dataset == "random":
+        feats = labels = None
+    else:
+        data = load_dataset(args.base_dataset)
+        feats, labels = data.features, np.asarray(data.labels)
+    paths = generate_features(
+        args.out_dir,
+        feats,
+        labels,
+        num_class=args.num_class,
+        node_per_class=args.node_per_class,
+        num_realizations=args.num_realizations,
+        seed=args.seed,
+    )
+    print(f"wrote {len(paths)} feature realizations under {args.out_dir}")
+
+
+def cmd_homophily(args):
+    from acmgnn_tpu.data import homophily as H
+    from acmgnn_tpu.data.registry import load_dataset
+
+    data = load_dataset(args.dataset)
+    out = {
+        "dataset": args.dataset,
+        "edge_homophily": H.edge_homophily(data.adj, data.labels),
+        "node_homophily": H.node_homophily(data.adj, data.labels),
+        "class_homophily": H.class_homophily(data.adj, data.labels),
+        "aggregation_homophily": H.aggregation_homophily(
+            data.features, data.adj.todense(), data.labels
+        ),
+    }
+    print(json.dumps(out))
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="acmgnn_tpu", description=__doc__)
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p_train = sub.add_parser("train")
+    _add_train_args(p_train)
+    p_train.set_defaults(fn=cmd_train)
+
+    p_sweep = sub.add_parser("sweep")
+    _add_train_args(p_sweep)
+    p_sweep.set_defaults(fn=cmd_sweep)
+
+    p_gg = sub.add_parser("gen-graphs")
+    p_gg.add_argument("--base_dir", default="./synthetic_graphs")
+    p_gg.add_argument("--graph_type", choices=["regular", "random"],
+                      default="random")
+    p_gg.add_argument("--edge_homos", type=float, nargs="+",
+                      default=[0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+    p_gg.add_argument("--num_graph", type=int, default=10)
+    p_gg.add_argument("--num_class", type=int, default=5)
+    p_gg.add_argument("--num_node_total", type=int, default=2000)
+    p_gg.add_argument("--degree_intra", type=int, default=2)
+    p_gg.add_argument("--seed", type=int, default=0)
+    p_gg.set_defaults(fn=cmd_gen_graphs)
+
+    p_gf = sub.add_parser("gen-feats")
+    p_gf.add_argument("--base_dataset", default="cora")
+    p_gf.add_argument("--out_dir", default="./synthetic_graphs/features")
+    p_gf.add_argument("--num_class", type=int, default=5)
+    p_gf.add_argument("--node_per_class", type=int, default=400)
+    p_gf.add_argument("--num_realizations", type=int, default=10)
+    p_gf.add_argument("--seed", type=int, default=0)
+    p_gf.set_defaults(fn=cmd_gen_feats)
+
+    p_h = sub.add_parser("homophily")
+    p_h.add_argument("--dataset", default="texas")
+    p_h.set_defaults(fn=cmd_homophily)
+
+    args = parser.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,278 @@
+"""LINKX large-scale dataset loaders (Penn94, arXiv-year, genius,
+twitch-gamers, pokec, snap-patents, deezer-europe, yelp-chi, twitch-e,
+wiki, ogbn-*).
+
+Re-implements the reference's registry
+(/root/reference/ACM-Geometric/dataset.py:71-422 and load_data.py:11-113)
+with numpy/scipy/pandas only — no torch_geometric/OGB/dgl dependencies,
+and no network: this environment has zero egress, so every loader is gated
+on the raw file being present locally (the reference gdown-fetches them).
+
+Expected file layout under ``<root>/large_scale_data/`` for any root in
+``acmgnn_tpu.data.paths.data_roots()``:
+
+- ``facebook100/<name>.mat``       (fb100 / Penn94)
+- ``deezer-europe.mat``, ``genius.mat``, ``pokec.mat``,
+  ``snap_patents.mat``, ``YelpChi.mat``
+- ``twitch/<lang>/musae_<lang>_{target.csv,edges.csv,features.json}``
+- ``twitch-gamer_feat.csv``, ``twitch-gamer_edges.csv``
+- ``wiki_features2M.pt``, ``wiki_edges2M.pt``, ``wiki_views2M.pt``
+- ``ogbn_arxiv/`` (OGB npz layout: see ``_load_ogb_arxiv_raw``)
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+import scipy.io
+import scipy.sparse as sp
+
+from acmgnn_tpu.data.paths import find_data_file
+from acmgnn_tpu.ops.graph import GraphData
+
+LARGE = "large_scale_data"
+
+
+def even_quantile_labels(vals: np.ndarray, nclasses: int) -> np.ndarray:
+    """Quantile-bucket continuous values into class labels
+    (/root/reference/ACM-Pytorch/utils.py:146-169)."""
+    label = -1 * np.ones(vals.shape[0], dtype=np.int64)
+    lower = -np.inf
+    for k in range(nclasses - 1):
+        upper = np.nanquantile(vals, (k + 1) / nclasses)
+        inds = (vals >= lower) * (vals < upper)
+        label[inds] = k
+        lower = upper
+    label[vals >= lower] = nclasses - 1
+    return label
+
+
+def _edges_to_adj(edge_index: np.ndarray, num_nodes: int) -> sp.csr_matrix:
+    """Directed edge list -> binary adjacency (kept directed; the training
+    pipeline symmetrizes unless --directed, matching
+    /root/reference/ACM-Geometric/train.py:66-67)."""
+    row, col = edge_index[0], edge_index[1]
+    a = sp.coo_matrix(
+        (np.ones(row.shape[0], np.float64), (row, col)),
+        shape=(num_nodes, num_nodes),
+    )
+    return (a > 0).astype(np.float64).tocsr()
+
+
+def _onehot_columns(feature_vals: np.ndarray) -> np.ndarray:
+    """sklearn.label_binarize semantics per column: one-hot for >2 classes,
+    a single 0/1 column for exactly 2 (fb100 feature construction,
+    /root/reference/ACM-Geometric/dataset.py:134-141)."""
+    from sklearn.preprocessing import label_binarize
+
+    cols = []
+    for c in range(feature_vals.shape[1]):
+        col = feature_vals[:, c]
+        cols.append(label_binarize(col, classes=np.unique(col)))
+    return np.hstack(cols).astype(np.float32)
+
+
+def load_fb100(sub_dataset: str = "Penn94") -> GraphData:
+    mat = scipy.io.loadmat(
+        find_data_file(LARGE, "facebook100", f"{sub_dataset}.mat")
+    )
+    a = sp.csr_matrix(mat["A"]).astype(np.float64)
+    metadata = mat["local_info"].astype(np.int64)
+    label = metadata[:, 1] - 1  # gender; -1 = unlabeled
+    feature_vals = np.hstack(
+        (np.expand_dims(metadata[:, 0], 1), metadata[:, 2:])
+    )
+    features = _onehot_columns(feature_vals)
+    return GraphData(
+        name=sub_dataset, adj=a, features=features, labels=label.astype(np.int32)
+    )
+
+
+def load_deezer_europe() -> GraphData:
+    mat = scipy.io.loadmat(find_data_file(LARGE, "deezer-europe.mat"))
+    a = sp.csr_matrix(mat["A"]).astype(np.float64)
+    features = np.asarray(mat["features"].todense(), dtype=np.float32)
+    labels = np.asarray(mat["label"]).squeeze().astype(np.int32)
+    return GraphData(name="deezer-europe", adj=a, features=features, labels=labels)
+
+
+def load_genius() -> GraphData:
+    mat = scipy.io.loadmat(find_data_file(LARGE, "genius.mat"))
+    edge_index = np.asarray(mat["edge_index"], dtype=np.int64)
+    features = np.asarray(mat["node_feat"], dtype=np.float32)
+    labels = np.asarray(mat["label"]).squeeze().astype(np.int32)
+    adj = _edges_to_adj(edge_index, labels.shape[0])
+    return GraphData(name="genius", adj=adj, features=features, labels=labels)
+
+
+def load_pokec() -> GraphData:
+    mat = scipy.io.loadmat(find_data_file(LARGE, "pokec.mat"))
+    edge_index = np.asarray(mat["edge_index"], dtype=np.int64)
+    features = np.asarray(mat["node_feat"], dtype=np.float32)
+    num_nodes = int(mat["num_nodes"])
+    labels = np.asarray(mat["label"]).flatten().astype(np.int32)
+    adj = _edges_to_adj(edge_index, num_nodes)
+    return GraphData(name="pokec", adj=adj, features=features, labels=labels)
+
+
+def load_snap_patents(nclass: int = 5) -> GraphData:
+    mat = scipy.io.loadmat(find_data_file(LARGE, "snap_patents.mat"))
+    edge_index = np.asarray(mat["edge_index"], dtype=np.int64)
+    features = np.asarray(mat["node_feat"].todense(), dtype=np.float32)
+    num_nodes = int(mat["num_nodes"])
+    years = np.asarray(mat["years"]).flatten()
+    labels = even_quantile_labels(years, nclass).astype(np.int32)
+    adj = _edges_to_adj(edge_index, num_nodes)
+    return GraphData(name="snap-patents", adj=adj, features=features, labels=labels)
+
+
+def load_yelpchi() -> GraphData:
+    mat = scipy.io.loadmat(find_data_file(LARGE, "YelpChi.mat"))
+    a = sp.csr_matrix(mat["homo"]).astype(np.float64)
+    features = np.asarray(mat["features"].todense(), dtype=np.float32)
+    labels = np.asarray(mat["label"]).flatten().astype(np.int32)
+    return GraphData(name="yelp-chi", adj=a, features=features, labels=labels)
+
+
+def load_twitch_explicit(lang: str = "DE") -> GraphData:
+    """twitch-e language graphs (/root/reference/ACM-Geometric/
+    load_data.py:21-70)."""
+    import csv as _csv
+
+    assert lang in ("DE", "ENGB", "ES", "FR", "PTBR", "RU", "TW")
+    base = find_data_file(LARGE, "twitch", lang, f"musae_{lang}_target.csv").parent
+    label, node_ids, uniq = [], [], set()
+    with open(base / f"musae_{lang}_target.csv") as f:
+        reader = _csv.reader(f)
+        next(reader)
+        for row in reader:
+            node_id = int(row[5])
+            if node_id not in uniq:
+                uniq.add(node_id)
+                label.append(int(row[2] == "True"))
+                node_ids.append(node_id)
+    label = np.array(label)
+    node_ids = np.array(node_ids, dtype=np.int64)
+    src, targ = [], []
+    with open(base / f"musae_{lang}_edges.csv") as f:
+        reader = _csv.reader(f)
+        next(reader)
+        for row in reader:
+            src.append(int(row[0]))
+            targ.append(int(row[1]))
+    with open(base / f"musae_{lang}_features.json") as f:
+        j = json.load(f)
+    n = label.shape[0]
+    adj = sp.csr_matrix(
+        (np.ones(len(src)), (np.array(src), np.array(targ))), shape=(n, n)
+    ).astype(np.float64)
+    features = np.zeros((n, 3170), dtype=np.float32)
+    for node, feats in j.items():
+        if int(node) >= n:
+            continue
+        features[int(node), np.array(feats, dtype=int)] = 1.0
+    features = features[:, features.sum(axis=0) != 0]
+    inv = {nid: idx for idx, nid in enumerate(node_ids)}
+    reorder = np.array([inv[i] for i in range(n)], dtype=np.int64)
+    labels = label[reorder].astype(np.int32)
+    return GraphData(name=f"twitch-e-{lang}", adj=adj, features=features,
+                     labels=labels)
+
+
+def load_twitch_gamer(task: str = "mature", normalize: bool = True) -> GraphData:
+    """twitch-gamers: the headline large graph (168k nodes, 6.8M edges)."""
+    import pandas as pd
+
+    feat_path = find_data_file(LARGE, "twitch-gamer_feat.csv")
+    edge_path = find_data_file(LARGE, "twitch-gamer_edges.csv")
+    edges = pd.read_csv(edge_path)
+    nodes = pd.read_csv(feat_path)
+    edge_index = edges.to_numpy().T.astype(np.int64)
+    num_nodes = len(nodes)
+    nodes = nodes.drop("numeric_id", axis=1)
+    nodes["created_at"] = nodes.created_at.replace("-", "", regex=True).astype(int)
+    nodes["updated_at"] = nodes.updated_at.replace("-", "", regex=True).astype(int)
+    one_hot = {k: v for v, k in enumerate(nodes["language"].unique())}
+    nodes["language"] = [one_hot[lang] for lang in nodes["language"]]
+    labels = nodes[task].to_numpy().astype(np.int32)
+    features = nodes.drop(task, axis=1).to_numpy().astype(np.float32)
+    if normalize:  # z-score (/root/reference/ACM-Geometric/dataset.py:380-382)
+        features = features - features.mean(axis=0, keepdims=True)
+        features = features / features.std(axis=0, keepdims=True)
+    adj = _edges_to_adj(edge_index, num_nodes)
+    return GraphData(name="twitch-gamer", adj=adj, features=features, labels=labels)
+
+
+def load_wiki() -> GraphData:
+    """wiki 2M: torch .pt tensors (torch-cpu used only for deserialization)."""
+    import torch
+
+    features = torch.load(
+        find_data_file(LARGE, "wiki_features2M.pt"), map_location="cpu"
+    ).numpy().astype(np.float32)
+    edges = torch.load(
+        find_data_file(LARGE, "wiki_edges2M.pt"), map_location="cpu"
+    ).numpy().T.astype(np.int64)
+    labels = torch.load(
+        find_data_file(LARGE, "wiki_views2M.pt"), map_location="cpu"
+    ).numpy().astype(np.int32)
+    adj = _edges_to_adj(edges, labels.shape[0])
+    return GraphData(name="wiki", adj=adj, features=features, labels=labels)
+
+
+def _load_ogb_arxiv_raw():
+    """ogbn-arxiv from its extracted raw npz/csv layout (no ogb package):
+    ``ogbn_arxiv/raw/{edge.csv.gz,node-feat.csv.gz,node_year.csv.gz}`` or a
+    preconverted ``ogbn_arxiv.npz`` with edge_index/node_feat/node_year."""
+    try:
+        npz = find_data_file(LARGE, "ogbn_arxiv.npz")
+        with np.load(npz) as f:
+            return (
+                f["edge_index"].astype(np.int64),
+                f["node_feat"].astype(np.float32),
+                f["node_year"].flatten(),
+            )
+    except FileNotFoundError:
+        pass
+    base = find_data_file(LARGE, "ogbn_arxiv", "raw", "edge.csv.gz").parent
+    edge_index = np.loadtxt(base / "edge.csv.gz", delimiter=",", dtype=np.int64).T
+    node_feat = np.loadtxt(base / "node-feat.csv.gz", delimiter=",",
+                           dtype=np.float32)
+    node_year = np.loadtxt(base / "node_year.csv.gz", delimiter=",",
+                           dtype=np.int64).flatten()
+    return edge_index, node_feat, node_year
+
+
+def load_arxiv_year(nclass: int = 5) -> GraphData:
+    edge_index, node_feat, node_year = _load_ogb_arxiv_raw()
+    labels = even_quantile_labels(
+        node_year.astype(np.float64), nclass
+    ).astype(np.int32)
+    adj = _edges_to_adj(edge_index, node_feat.shape[0])
+    return GraphData(name="arxiv-year", adj=adj, features=node_feat, labels=labels)
+
+
+_LOADERS = {
+    "Penn94": lambda sub: load_fb100("Penn94"),
+    "fb100": lambda sub: load_fb100(sub or "Penn94"),
+    "deezer-europe": lambda sub: load_deezer_europe(),
+    "genius": lambda sub: load_genius(),
+    "pokec": lambda sub: load_pokec(),
+    "snap-patents": lambda sub: load_snap_patents(),
+    "yelp-chi": lambda sub: load_yelpchi(),
+    "twitch-e": lambda sub: load_twitch_explicit(sub or "DE"),
+    "twitch-gamer": lambda sub: load_twitch_gamer(),
+    "wiki": lambda sub: load_wiki(),
+    "arxiv-year": lambda sub: load_arxiv_year(),
+}
+
+
+def load_linkx_dataset(name: str, sub_dataset: str = "") -> GraphData:
+    if name not in _LOADERS:
+        raise ValueError(
+            f"unsupported large-scale dataset {name!r}; supported: "
+            f"{sorted(_LOADERS)}"
+        )
+    return _LOADERS[name](sub_dataset)

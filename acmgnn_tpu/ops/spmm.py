@@ -73,6 +73,11 @@ def spmm(op: SparseOp, x: jnp.ndarray) -> jnp.ndarray:
         return jnp.dot(op.mat, x, preferred_element_type=x.dtype)
     if isinstance(op, CooOp):
         return _coo_spmm(op, x)
+    # Sharded multi-chip operator — imported lazily to avoid a cycle.
+    from acmgnn_tpu.parallel.sharded import ShardedCooOp, sharded_spmm
+
+    if isinstance(op, ShardedCooOp):
+        return sharded_spmm(op, x, op.mesh)
     raise TypeError(f"unsupported operator type: {type(op)!r}")
 
 

@@ -1,0 +1,4 @@
+from acmgnn_tpu.utils.logging import ExperimentLogger, RunStats
+from acmgnn_tpu.utils.profiling import profile_trace, timed
+
+__all__ = ["ExperimentLogger", "RunStats", "profile_trace", "timed"]

@@ -1,0 +1,188 @@
+"""Benchmark driver — prints ONE JSON line with the headline metric.
+
+Headline: full-batch ACM-GCN+ training epoch time at twitch-gamers scale
+(N=168,114, ~13.6M directed edges, 7 features — the reference's largest
+routinely-trained LINKX graph).  The raw twitch-gamers CSV is not bundled
+and this environment has no network egress, so the benchmark graph is a
+synthetic random graph with matched node/edge/feature counts; epoch work
+(2 ACM layers x fwd+bwd+Adam + full-graph eval, exactly the reference's
+per-epoch protocol) is identical to the real dataset's.
+
+Baseline: 493 ms/epoch for ACM-GCN+ (Adam) on twitch-gamers on a V100
+(reference paper Table 16; see BASELINE.md).  vs_baseline = speedup.
+
+Usage:
+  python bench.py                 # headline benchmark (JSON line on stdout)
+  python bench.py --scenario spmm # raw SpMM edges/s/chip
+  python bench.py --scenario texas# small-graph fused-loop epochs/s
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+BASELINE_EPOCH_MS = 493.0  # paper Table 16, ACM-GCN+ Adam, twitch-gamers
+
+
+def _twitch_gamers_scale_graph(seed=0):
+    """Synthetic stand-in with twitch-gamers' shape: N=168114, E~6.8M und."""
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(seed)
+    n = 168_114
+    e = 6_797_557
+    src = rng.integers(0, n, size=e, dtype=np.int64)
+    dst = rng.integers(0, n, size=e, dtype=np.int64)
+    a = sp.coo_matrix(
+        (np.ones(e, np.float32), (src, dst)), shape=(n, n)
+    )
+    adj = ((a + a.T) > 0).astype(np.float64).tocsr()
+    features = rng.normal(size=(n, 7)).astype(np.float32)
+    labels = (rng.random(n) < 0.5).astype(np.int32)
+    return adj, features, labels
+
+
+def bench_epoch_twitch_scale(epochs=30, warmup=5):
+    import jax
+    import jax.numpy as jnp
+
+    from acmgnn_tpu.train.config import TrainConfig
+    from acmgnn_tpu.train.trainer import (
+        build_model,
+        make_split_runner,
+        prepare_data,
+    )
+    from acmgnn_tpu.ops.graph import GraphData
+
+    adj, features, labels = _twitch_gamers_scale_graph()
+    data = GraphData(name="twitch-gamers-scale", adj=adj, features=features,
+                     labels=labels)
+
+    cfg = TrainConfig(
+        model_type="acmgcnp",
+        hidden=64,
+        dropout=0.5,
+        lr=0.01,
+        weight_decay=1e-3,
+        epochs=epochs,
+        early_stopping=0,
+        selection="val_metric",
+        operator_format="coo",
+    )
+    data, ops, x, y, y1h, nclass = prepare_data(data, cfg)
+    n = data.num_nodes
+    rng = np.random.default_rng(0)
+    perm = rng.permutation(n)
+    masks_np = np.zeros((3, n), bool)
+    masks_np[0, perm[: n // 2]] = True
+    masks_np[1, perm[n // 2 : 3 * n // 4]] = True
+    masks_np[2, perm[3 * n // 4 :]] = True
+    masks = tuple(jnp.asarray(m) for m in masks_np)
+
+    model = build_model(cfg, nclass, n)
+    runner = jax.jit(make_split_runner(model, cfg))
+    variables = model.init(jax.random.key(0), x, ops)
+
+    # warmup / compile
+    wcfg = TrainConfig(**{**cfg.__dict__, "epochs": warmup})
+    wrunner = jax.jit(make_split_runner(model, wcfg))
+    jax.block_until_ready(
+        wrunner(variables, jax.random.key(1), ops, x, y, y1h, masks)
+    )
+
+    t0 = time.perf_counter()
+    res = runner(variables, jax.random.key(1), ops, x, y, y1h, masks)
+    jax.block_until_ready(res)
+    dt = time.perf_counter() - t0
+    epoch_ms = 1000.0 * dt / epochs
+    edges_per_epoch = 8 * ops.adj_low.nnz  # 2 layers x (2 fwd + 2 bwd) SpMM
+    return {
+        "metric": "acmgcnp_twitch_gamers_scale_epoch_ms",
+        "value": round(epoch_ms, 3),
+        "unit": "ms/epoch",
+        "vs_baseline": round(BASELINE_EPOCH_MS / epoch_ms, 3),
+        "detail": {
+            "nnz": int(ops.adj_low.nnz),
+            "spmm_edges_per_s": round(edges_per_epoch / (dt / epochs)),
+            "epochs": epochs,
+            "device": str(jax.devices()[0]),
+        },
+    }
+
+
+def bench_spmm(repeats=50):
+    import jax
+    import jax.numpy as jnp
+
+    from acmgnn_tpu.ops.graph import make_coo_op, row_normalized_adjacency
+    from acmgnn_tpu.ops.spmm import spmm
+
+    adj, features, _ = _twitch_gamers_scale_graph()
+    op = make_coo_op(row_normalized_adjacency(adj))
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(adj.shape[0], 64)).astype(np.float32)
+    )
+
+    f = jax.jit(lambda x_: spmm(op, x_))
+    jax.block_until_ready(f(x))
+    t0 = time.perf_counter()
+    out = x
+    for _ in range(repeats):
+        out = f(out)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / repeats
+    return {
+        "metric": "spmm_edges_per_s_per_chip",
+        "value": round(op.nnz / dt),
+        "unit": "edges/s",
+        "vs_baseline": None,
+        "detail": {"nnz": int(op.nnz), "ms": round(1000 * dt, 3)},
+    }
+
+
+def bench_texas(epochs=500):
+    import jax
+
+    from acmgnn_tpu.train.config import TrainConfig
+    from acmgnn_tpu.train.trainer import run_experiment
+
+    cfg = TrainConfig(
+        model_type="acmgcn",
+        epochs=epochs,
+        early_stopping=0,
+        num_splits=2,
+        fixed_splits=True,
+    )
+    out = run_experiment("texas", cfg)
+    return {
+        "metric": "acmgcn_texas_epoch_ms",
+        "value": round(out["epoch_ms_avg"], 4),
+        "unit": "ms/epoch",
+        "vs_baseline": None,
+        "detail": {"test_mean": out["test_mean"]},
+    }
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument(
+        "--scenario",
+        default="epoch",
+        choices=["epoch", "spmm", "texas"],
+    )
+    args = p.parse_args()
+    if args.scenario == "epoch":
+        result = bench_epoch_twitch_scale()
+    elif args.scenario == "spmm":
+        result = bench_spmm()
+    else:
+        result = bench_texas()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

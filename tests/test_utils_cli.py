@@ -1,0 +1,115 @@
+"""Logger, run stats, checkpoint, sweep grid, and CLI plumbing tests."""
+
+import json
+
+import numpy as np
+import pytest
+
+from acmgnn_tpu.train.config import TrainConfig
+from acmgnn_tpu.train.sweep import build_grid
+from acmgnn_tpu.utils.logging import ExperimentLogger, RunStats
+
+
+def test_run_stats_ogb_semantics():
+    """final test = test at argmax-valid epoch, per run
+    (/root/reference/ACM-Geometric/logger.py:17-49)."""
+    stats = RunStats(2)
+    # run 0: valid peaks at epoch 1
+    stats.add_result(0, (0.9, 0.5, 0.40))
+    stats.add_result(0, (0.95, 0.8, 0.70))
+    stats.add_result(0, (0.99, 0.6, 0.90))
+    # run 1: valid peaks at epoch 0
+    stats.add_result(1, (0.9, 0.7, 0.60))
+    stats.add_result(1, (0.95, 0.6, 0.80))
+    s = stats.summary()
+    assert s["per_run"][0]["final_test"] == pytest.approx(0.70)
+    assert s["per_run"][1]["final_test"] == pytest.approx(0.60)
+    assert s["test_mean"] == pytest.approx(0.65)
+
+
+def test_logger_file_and_csv(tmp_path):
+    logger = ExperimentLogger(name="t", log_dir=str(tmp_path))
+    logger.info("hello %d", 42)
+    assert logger.log_path.exists()
+    assert "hello 42" in logger.log_path.read_text()
+
+    csv_path = tmp_path / "results.csv"
+    logger.append_csv(str(csv_path), {"a": 1, "b": "x"})
+    logger.append_csv(str(csv_path), {"a": 2, "b": "y"})
+    lines = csv_path.read_text().strip().splitlines()
+    assert lines[0] == "a,b" and len(lines) == 3
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import jax.numpy as jnp
+
+    from acmgnn_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+
+    variables = {"params": {"w": jnp.arange(6, dtype=jnp.float32).reshape(2, 3)}}
+    path = save_checkpoint(str(tmp_path / "ckpt"), variables, step=7)
+    restored = restore_checkpoint(path)
+    np.testing.assert_array_equal(
+        np.asarray(restored["variables"]["params"]["w"]),
+        np.arange(6, dtype=np.float32).reshape(2, 3),
+    )
+    assert int(restored["step"]) == 7
+
+
+def test_build_grid_reference_defaults():
+    cfg = TrainConfig(model_type="acmgcn")
+    grid = build_grid(cfg, dataset="texas")
+    assert len(grid) == 3 * 8 * 10  # lr x wd x dropout
+    # acmsgc pins dropout=0 (reference hyperparameter_searching.py:58-61)
+    grid_sgc = build_grid(TrainConfig(model_type="acmsgc"), dataset="texas")
+    assert len(grid_sgc) == 3 * 8 * 1
+    assert all(c.dropout == 0.0 for c in grid_sgc)
+    # deezer lr grid override
+    grid_dz = build_grid(cfg, dataset="deezer-europe")
+    assert sorted({c.lr for c in grid_dz}) == [0.002, 0.01, 0.05]
+
+
+def test_cli_config_mapping():
+    from acmgnn_tpu.cli import config_from_args, main
+
+    import argparse
+
+    from acmgnn_tpu.cli import _add_train_args
+
+    p = argparse.ArgumentParser()
+    _add_train_args(p)
+    args = p.parse_args(
+        ["--dataset", "genius", "--model", "acmgcnp", "--variant", "1"]
+    )
+    cfg = config_from_args(args)
+    assert cfg.loss == "bce" and cfg.metric == "rocauc"
+    assert cfg.selection == "val_metric"
+    assert cfg.variant is True
+
+    args2 = p.parse_args(["--dataset_name", "texas", "--method", "acmgcn"])
+    cfg2 = config_from_args(args2)
+    assert cfg2.loss == "nll" and cfg2.selection == "val_loss"
+    assert cfg2.model_type == "acmgcn"
+
+
+def test_cli_homophily_command(capsys):
+    from acmgnn_tpu.cli import main
+
+    main(["homophily", "--dataset", "texas"])
+    out = json.loads(capsys.readouterr().out.strip())
+    assert 0 <= out["edge_homophily"] <= 1
+    # texas is strongly heterophilic
+    assert out["edge_homophily"] < 0.25
+
+
+def test_cli_gen_graphs_command(tmp_path, capsys):
+    from acmgnn_tpu.cli import main
+
+    main([
+        "gen-graphs",
+        "--base_dir", str(tmp_path),
+        "--edge_homos", "0.5",
+        "--num_graph", "1",
+        "--num_node_total", "150",
+        "--num_class", "3",
+    ])
+    assert "wrote 1 graphs" in capsys.readouterr().out
