@@ -71,7 +71,10 @@ class ACMConv(nn.Module):
         names = ["low", "high", "mlp", "struc_low"][:t]
         if self.use_layernorm:
             lns = [
-                nn.LayerNorm(name=f"layer_norm_{names[i]}")(channels[i])
+                # eps matches torch nn.LayerNorm (1e-5)
+                nn.LayerNorm(epsilon=1e-5, name=f"layer_norm_{names[i]}")(
+                    channels[i]
+                )
                 for i in range(t)
             ]
         else:

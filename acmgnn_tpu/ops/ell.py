@@ -1,0 +1,172 @@
+"""Degree-bucketed ELLPACK operator — the TPU performance format.
+
+Why: XLA's scatter-add (``segment_sum``) on TPU serializes; measured on a
+twitch-gamers-scale graph (13.6M nnz, d=64) the COO gather+scatter SpMM
+costs ~191 ms of which ~154 ms is the scatter.  Reformulated as ELLPACK —
+gather + multiply + sum over a fixed per-row slot axis — the aggregation
+is scatter-free (pure gathers + dense reductions) and runs at ~72 ms,
+within ~2x of the raw-gather memory floor (~37 ms).
+
+Power-law degree distributions make single-K ELLPACK explode (pad to max
+degree), so rows are permuted into degree buckets (power-of-two ranges),
+each bucket packed with its own width K_b; slot axes are processed in
+chunks of ``kc`` via ``lax.scan`` so the gathered intermediate stays small.
+Outputs are computed in bucket order and inverse-permuted once at the end.
+
+Backward is ``A^T g`` — a different sparse matrix for the row-normalized
+operator — so the transpose is bucketed on host too and wired via
+``jax.custom_vjp`` (same scheme as the COO path,
+/root/repo/acmgnn_tpu/ops/spmm.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+class EllBucket(struct.PyTreeNode):
+    """One degree bucket: rows with similar degree, ELL-packed."""
+
+    cols: jnp.ndarray   # [n_rows, K] int32, padded with 0
+    vals: jnp.ndarray   # [n_rows, K] float32, padded with 0
+    # static slot-chunk size for the scan
+    kc: int = struct.field(pytree_node=False)
+
+
+class EllHalf(struct.PyTreeNode):
+    """Bucketed ELL representation of one matrix (A or A^T)."""
+
+    buckets: tuple      # tuple[EllBucket, ...]
+    inv_perm: jnp.ndarray  # [N] int32: output row i <- concat_result[inv_perm[i]]
+    num_zero_rows: int = struct.field(pytree_node=False)
+
+
+class EllOp(struct.PyTreeNode):
+    """Bucketed-ELL operator with precomputed transpose."""
+
+    fwd: EllHalf
+    bwd: EllHalf
+    num_nodes: int = struct.field(pytree_node=False)
+    nnz: int = struct.field(pytree_node=False)
+
+
+def _build_half(csr: sp.csr_matrix, kc: int, min_bucket_rows: int) -> EllHalf:
+    n = csr.shape[0]
+    deg = np.diff(csr.indptr)
+    order = np.argsort(-deg, kind="stable")  # high degree first
+    sorted_deg = deg[order]
+
+    # bucket boundaries: split where degree halves (power-of-two ranges),
+    # merging tiny buckets forward to bound bucket count
+    buckets = []
+    start = 0
+    nz_rows = int((sorted_deg > 0).sum())
+    while start < nz_rows:
+        k_max = int(sorted_deg[start])
+        # all rows with degree > k_max/2 share this bucket
+        lo = max(k_max // 2, 0)
+        end = int(np.searchsorted(-sorted_deg, -lo, side="left"))
+        if end <= start:
+            end = start + 1
+        # absorb tiny tail buckets
+        if end - start < min_bucket_rows:
+            end = min(start + min_bucket_rows, nz_rows)
+            k_max = int(sorted_deg[start])
+        rows = order[start:end]
+        k_pad = max(k_max, 1)
+        cols = np.zeros((len(rows), k_pad), np.int32)
+        vals = np.zeros((len(rows), k_pad), np.float32)
+        # vectorized ELL packing: flatten (row, slot) targets for all nnz
+        counts = deg[rows]
+        total = int(counts.sum())
+        if total:
+            row_pos = np.repeat(np.arange(len(rows)), counts)
+            slot = np.arange(total) - np.repeat(
+                np.cumsum(counts) - counts, counts
+            )
+            src = np.repeat(csr.indptr[rows], counts) + slot
+            cols[row_pos, slot] = csr.indices[src]
+            vals[row_pos, slot] = csr.data[src]
+        buckets.append(
+            EllBucket(cols=jnp.asarray(cols), vals=jnp.asarray(vals), kc=kc)
+        )
+        start = end
+
+    # concat order = sorted rows (nonzero-degree) then zero-degree rows
+    inv = np.empty(n, np.int64)
+    inv[order] = np.arange(n)
+    return EllHalf(
+        buckets=tuple(buckets),
+        inv_perm=jnp.asarray(inv.astype(np.int32)),
+        num_zero_rows=n - nz_rows,
+    )
+
+
+def make_ell_op(
+    mat: sp.spmatrix, *, kc: int = 8, min_bucket_rows: int = 1024
+) -> EllOp:
+    csr = sp.csr_matrix(mat)
+    return EllOp(
+        fwd=_build_half(csr, kc, min_bucket_rows),
+        bwd=_build_half(csr.T.tocsr(), kc, min_bucket_rows),
+        num_nodes=csr.shape[0],
+        nnz=int(csr.nnz),
+    )
+
+
+def _bucket_spmm(bucket: EllBucket, x: jnp.ndarray) -> jnp.ndarray:
+    """Scatter-free aggregation for one bucket: scan over slot chunks."""
+    n_rows, k = bucket.cols.shape
+    d = x.shape[1]
+    kc = min(bucket.kc, k)
+    nchunks = -(-k // kc)
+    k_pad = nchunks * kc
+    cols = jnp.pad(bucket.cols, ((0, 0), (0, k_pad - k)))
+    vals = jnp.pad(bucket.vals, ((0, 0), (0, k_pad - k)))
+    if nchunks == 1:
+        return (jnp.take(x, cols, axis=0) * vals[..., None]).sum(axis=1)
+    cols_s = cols.reshape(n_rows, nchunks, kc).transpose(1, 0, 2)
+    vals_s = vals.reshape(n_rows, nchunks, kc).transpose(1, 0, 2)
+
+    def body(acc, cv):
+        c, v = cv
+        return acc + (jnp.take(x, c, axis=0) * v[..., None]).sum(axis=1), None
+
+    out, _ = jax.lax.scan(
+        body, jnp.zeros((n_rows, d), x.dtype), (cols_s, vals_s)
+    )
+    return out
+
+
+def _half_spmm(half: EllHalf, x: jnp.ndarray) -> jnp.ndarray:
+    parts = [_bucket_spmm(b, x) for b in half.buckets]
+    if half.num_zero_rows:
+        parts.append(
+            jnp.zeros((half.num_zero_rows, x.shape[1]), x.dtype)
+        )
+    concat = jnp.concatenate(parts, axis=0) if parts else jnp.zeros_like(x)
+    return jnp.take(concat, half.inv_perm, axis=0)
+
+
+@jax.custom_vjp
+def ell_spmm(op: EllOp, x: jnp.ndarray) -> jnp.ndarray:
+    return _half_spmm(op.fwd, x)
+
+
+def _ell_fwd(op, x):
+    return ell_spmm(op, x), op
+
+
+def _ell_bwd(op, g):
+    dx = _half_spmm(op.bwd, g)
+    return jax.tree_util.tree_map(jnp.zeros_like, op), dx
+
+
+ell_spmm.defvjp(_ell_fwd, _ell_bwd)

@@ -286,12 +286,18 @@ def precompute_operators(
         adj_low = k_hop(adj_low, hops)
 
     if fmt == "auto":
-        fmt = "dense" if n <= dense_threshold else "coo"
+        # dense = MXU matmul for small graphs; bucketed ELL (scatter-free)
+        # for everything larger — ~2.7x faster than COO segment-sum on TPU
+        fmt = "dense" if n <= dense_threshold else "ell"
 
     if fmt == "dense":
         make = make_dense_op
     elif fmt == "coo":
         make = make_coo_op
+    elif fmt == "ell":
+        from acmgnn_tpu.ops.ell import make_ell_op
+
+        make = make_ell_op
     else:
         raise ValueError(f"unknown operator format: {fmt!r}")
 

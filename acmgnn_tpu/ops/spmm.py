@@ -69,10 +69,14 @@ _coo_spmm.defvjp(_coo_spmm_fwd, _coo_spmm_bwd)
 
 def spmm(op: SparseOp, x: jnp.ndarray) -> jnp.ndarray:
     """``op @ x`` for any supported operator format."""
+    from acmgnn_tpu.ops.ell import EllOp, ell_spmm
+
     if isinstance(op, DenseOp):
         return jnp.dot(op.mat, x, preferred_element_type=x.dtype)
     if isinstance(op, CooOp):
         return _coo_spmm(op, x)
+    if isinstance(op, EllOp):
+        return ell_spmm(op, x)
     # Sharded multi-chip operator — imported lazily to avoid a cycle.
     from acmgnn_tpu.parallel.sharded import ShardedCooOp, sharded_spmm
 

@@ -238,6 +238,164 @@ def train_single_split(
     return runner(variables, run_key, ops, x, labels, labels_onehot, masks)
 
 
+def make_epoch_fns(model: ACMGNN, cfg: TrainConfig, tx=None):
+    """Stepwise (one-epoch-at-a-time) train/eval functions for the
+    observable path: per-epoch display, RunStats accumulation, and
+    checkpointing — the ACM-Geometric protocol
+    (/root/reference/ACM-Geometric/train.py:119-156).  The fused
+    ``make_split_runner`` is the fast path; this one trades a host sync per
+    epoch for visibility."""
+    tx = make_optimizer(cfg) if tx is None else tx
+    use_bce = cfg.loss == "bce"
+    use_rocauc = cfg.metric == "rocauc"
+
+    @jax.jit
+    def train_epoch(variables, opt_state, key, ops, x, labels, labels_onehot,
+                    train_mask):
+        params = variables["params"]
+        rest = {k: v for k, v in variables.items() if k != "params"}
+
+        def loss_fn(p):
+            out = model.apply(
+                {"params": p, **rest},
+                x,
+                ops,
+                training=True,
+                rngs={"dropout": key},
+                mutable=list(rest.keys()),
+            )
+            logits, updates = out
+            if use_bce:
+                loss = masked_bce_with_logits(logits, labels_onehot, train_mask)
+            else:
+                loss = masked_nll(
+                    jax.nn.log_softmax(logits, axis=1), labels, train_mask
+                )
+            return loss, updates
+
+        (loss, bn_updates), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return {"params": params, **{**rest, **bn_updates}}, opt_state, loss
+
+    @jax.jit
+    def eval_epoch(variables, ops, x, labels, labels_onehot, masks):
+        logits = model.apply(variables, x, ops, training=False)
+        if use_rocauc:
+            metric = lambda m: masked_rocauc(logits, labels, m)
+        else:
+            metric = lambda m: masked_accuracy(logits, labels, m)
+        train_mask, val_mask, test_mask = masks
+        if use_bce:
+            val_loss = masked_bce_with_logits(logits, labels_onehot, val_mask)
+        else:
+            val_loss = masked_nll(
+                jax.nn.log_softmax(logits, axis=1), labels, val_mask
+            )
+        return {
+            "train_metric": metric(train_mask),
+            "val_metric": metric(val_mask),
+            "test_metric": metric(test_mask),
+            "val_loss": val_loss,
+        }
+
+    return train_epoch, eval_epoch
+
+
+def run_experiment_stepwise(
+    dataset: GraphData | str,
+    cfg: TrainConfig,
+    *,
+    splits: Optional[list] = None,
+    logger=None,
+    display_step: int = 25,
+    checkpoint_dir: Optional[str] = None,
+) -> dict:
+    """Observable multi-split run: per-epoch eval + OGB-style statistics
+    (test at argmax-valid), optional best-checkpoint saving."""
+    from acmgnn_tpu.utils.logging import RunStats
+
+    data, ops, x, labels, labels_onehot, nclass = prepare_data(dataset, cfg)
+    n = data.num_nodes
+    model = build_model(cfg, nclass, n)
+    tx = make_optimizer(cfg)
+    train_epoch, eval_epoch = make_epoch_fns(model, cfg, tx)
+
+    rng = np.random.default_rng(cfg.seed)
+    key = jax.random.key(cfg.seed)
+    stats = RunStats(cfg.num_splits)
+
+    t_total = time.time()
+    for idx in range(cfg.num_splits):
+        if splits is not None:
+            tr, va, te = splits[idx]
+        elif cfg.fixed_splits:
+            tr, va, te = load_fixed_split_masks(data.name, idx)
+        else:
+            tr, va, te = random_disassortative_splits(
+                np.asarray(labels), nclass, rng=rng
+            )
+        masks = tuple(jnp.asarray(m) for m in (tr, va, te))
+
+        split_key = jax.random.fold_in(key, idx)
+        init_key, run_key = jax.random.split(split_key)
+        variables = model.init(init_key, x, ops)
+        opt_state = tx.init(variables["params"])
+        best_val = -np.inf
+        for epoch in range(cfg.epochs):
+            ekey = jax.random.fold_in(run_key, epoch)
+            variables, opt_state, loss = train_epoch(
+                variables, opt_state, ekey, ops, x, labels, labels_onehot,
+                masks[0],
+            )
+            ev = eval_epoch(variables, ops, x, labels, labels_onehot, masks)
+            stats.add_result(
+                idx,
+                (ev["train_metric"], ev["val_metric"], ev["test_metric"]),
+            )
+            if float(ev["val_metric"]) > best_val:
+                best_val = float(ev["val_metric"])
+                if checkpoint_dir is not None:
+                    from acmgnn_tpu.utils.checkpoint import save_checkpoint
+
+                    save_checkpoint(
+                        f"{checkpoint_dir}/split{idx}_best",
+                        variables,
+                        step=epoch,
+                        extra={"val_metric": best_val},
+                    )
+            if logger is not None and epoch % display_step == 0:
+                logger.info(
+                    "split %d epoch %d: loss %.4f train %.4f val %.4f test %.4f",
+                    idx,
+                    epoch,
+                    float(loss),
+                    float(ev["train_metric"]),
+                    float(ev["val_metric"]),
+                    float(ev["test_metric"]),
+                )
+
+    summary = stats.summary()
+    elapsed = time.time() - t_total
+    out = {
+        "dataset": data.name,
+        "model": cfg.model_type,
+        "test_mean": summary["test_mean"],
+        "test_std": summary["test_std"],
+        "valid_mean": summary["valid_mean"],
+        "valid_std": summary["valid_std"],
+        "per_split": [s["final_test"] for s in summary["per_run"]],
+        "epochs_total": cfg.num_splits * cfg.epochs,
+        "runtime_s": elapsed,
+        "epoch_ms_avg": 1000.0 * elapsed / max(cfg.num_splits * cfg.epochs, 1),
+    }
+    if logger is not None:
+        logger.log_result(out)
+    return out
+
+
 def prepare_data(dataset: GraphData | str, cfg: TrainConfig):
     """Load + preprocess a dataset into device arrays + operators."""
     data = load_dataset(dataset) if isinstance(dataset, str) else dataset

@@ -32,8 +32,8 @@ def _np_softmax(x, axis):
     return e / e.sum(axis=axis, keepdims=True)
 
 
-def _np_layernorm(x, eps=1e-6):
-    # flax LayerNorm default eps=1e-6 (scale=1, bias=0 at init)
+def _np_layernorm(x, eps=1e-5):
+    # torch nn.LayerNorm eps=1e-5 (scale=1, bias=0 at init)
     mu = x.mean(axis=-1, keepdims=True)
     var = x.var(axis=-1, keepdims=True)
     return (x - mu) / np.sqrt(var + eps)

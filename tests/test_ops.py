@@ -124,9 +124,73 @@ def test_coo_padding_is_inert(small_graph):
 def test_precompute_operators_auto_format(small_graph):
     adj, _, _ = small_graph
     ops_dense = precompute_operators(adj, fmt="auto", dense_threshold=1000)
-    ops_coo = precompute_operators(adj, fmt="auto", dense_threshold=10)
+    ops_ell = precompute_operators(adj, fmt="auto", dense_threshold=10)
     assert type(ops_dense.adj_low).__name__ == "DenseOp"
-    assert type(ops_coo.adj_low).__name__ == "CooOp"
+    assert type(ops_ell.adj_low).__name__ == "EllOp"
+
+
+def _powerlaw_matrix(n=300, seed=3):
+    rng = np.random.default_rng(seed)
+    dense = (rng.random((n, n)) < 0.03).astype(np.float64)
+    dense[0, :] = 1.0          # hub row
+    dense[1, : n // 2] = 1.0
+    dense[7, :] = 0.0          # zero row
+    dense[:, 9] = 0.0          # zero column (tests transpose bucketing)
+    return sp.csr_matrix(dense * rng.random((n, n)))
+
+
+def test_ell_spmm_matches_dense_powerlaw():
+    from acmgnn_tpu.ops.ell import ell_spmm, make_ell_op
+
+    mat = _powerlaw_matrix()
+    op = make_ell_op(mat, kc=4, min_bucket_rows=16)
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(mat.shape[0], 20)).astype(np.float32)
+    )
+    got = np.asarray(ell_spmm(op, x))
+    want = np.asarray(mat.todense()).astype(np.float32) @ np.asarray(x)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_ell_spmm_gradient_powerlaw():
+    from acmgnn_tpu.ops.ell import ell_spmm, make_ell_op
+
+    mat = _powerlaw_matrix()
+    op = make_ell_op(mat, kc=4, min_bucket_rows=16)
+    x = jnp.asarray(
+        np.random.default_rng(1).normal(size=(mat.shape[0], 20)).astype(np.float32)
+    )
+
+    def loss(x_):
+        return jnp.sum(jnp.sin(ell_spmm(op, x_)))
+
+    got = np.asarray(jax.grad(loss)(x))
+    dense = jnp.asarray(np.asarray(mat.todense()).astype(np.float32))
+
+    def loss_ref(x_):
+        return jnp.sum(jnp.sin(dense @ x_))
+
+    want = np.asarray(jax.grad(loss_ref)(x))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_ell_spmm_under_jit_and_model(small_graph):
+    """EllOp must work as the operator inside a jitted model forward."""
+    from acmgnn_tpu.models.models import ACMGNN
+
+    adj, features, _ = small_graph
+    ops = precompute_operators(adj, fmt="ell")
+    model = ACMGNN(nhid=8, nclass=3, model_type="acmgcn", dropout=0.0)
+    x = jnp.asarray(features)
+    params = model.init(jax.random.key(0), x, ops)
+    out = jax.jit(lambda p, x_: model.apply(p, x_, ops))(params, x)
+    assert out.shape == (adj.shape[0], 3)
+
+    ops_dense = precompute_operators(adj, fmt="dense")
+    out_dense = model.apply(params, x, ops_dense)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(out_dense), rtol=1e-4, atol=1e-5
+    )
 
 
 def test_precompute_hops_keeps_1hop_high_pass(small_graph):
