@@ -49,11 +49,21 @@ def even_quantile_labels(vals: np.ndarray, nclasses: int) -> np.ndarray:
     return label
 
 
-def _edges_to_adj(edge_index: np.ndarray, num_nodes: int) -> sp.csr_matrix:
-    """Directed edge list -> binary adjacency (kept directed; the training
-    pipeline symmetrizes unless --directed, matching
-    /root/reference/ACM-Geometric/train.py:66-67)."""
+def _edges_to_adj(
+    edge_index: np.ndarray, num_nodes: int, symmetrize: bool = True
+) -> sp.csr_matrix:
+    """Directed edge list -> binary adjacency.
+
+    The reference symmetrizes at train time unless ``--directed``
+    (/root/reference/ACM-Geometric/train.py:66-67); we do it at load time
+    through the native graphprep fast path (C++ counting sort + dedup).
+    Pass ``symmetrize=False`` for the --directed behavior.
+    """
     row, col = edge_index[0], edge_index[1]
+    if symmetrize:
+        from acmgnn_tpu.ops.native import build_sym_adjacency
+
+        return build_sym_adjacency(row, col, num_nodes)
     a = sp.coo_matrix(
         (np.ones(row.shape[0], np.float64), (row, col)),
         shape=(num_nodes, num_nodes),

@@ -30,17 +30,14 @@ BASELINE_EPOCH_MS = 493.0  # paper Table 16, ACM-GCN+ Adam, twitch-gamers
 
 def _twitch_gamers_scale_graph(seed=0):
     """Synthetic stand-in with twitch-gamers' shape: N=168114, E~6.8M und."""
-    import scipy.sparse as sp
+    from acmgnn_tpu.ops.native import build_sym_adjacency
 
     rng = np.random.default_rng(seed)
     n = 168_114
     e = 6_797_557
     src = rng.integers(0, n, size=e, dtype=np.int64)
     dst = rng.integers(0, n, size=e, dtype=np.int64)
-    a = sp.coo_matrix(
-        (np.ones(e, np.float32), (src, dst)), shape=(n, n)
-    )
-    adj = ((a + a.T) > 0).astype(np.float64).tocsr()
+    adj = build_sym_adjacency(src, dst, n)
     features = rng.normal(size=(n, 7)).astype(np.float32)
     labels = (rng.random(n) < 0.5).astype(np.int32)
     return adj, features, labels
