@@ -41,7 +41,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from acmgnn_tpu.ops.graph import Operators
-from acmgnn_tpu.ops.spmm import spmm, spmm_high
+from acmgnn_tpu.ops.spmm import spmm, spmm_dual, spmm_high
 
 
 def _uniform(scale: float):
@@ -113,8 +113,11 @@ class ACMConv(nn.Module):
             # Note ops.adj_hp: with hops > 1 the low-pass is A_hat^k but the
             # high-pass stays I - A_hat (reference computes adj_high before
             # exponentiating, /root/reference/ACM-Pytorch/utils.py:626-637).
-            h_low = spmm(ops.adj_low, x @ w_low)
-            h_high = spmm_high(ops.adj_hp, x @ w_high)
+            if ops.adj_hp_base is None:
+                h_low, h_high = spmm_dual(ops.adj_low, x @ w_low, x @ w_high)
+            else:
+                h_low = spmm(ops.adj_low, x @ w_low)
+                h_high = spmm_high(ops.adj_hp, x @ w_high)
             h_mlp = x @ w_mlp
             att = self._attention([h_low, h_high, h_mlp])
             return 3.0 * (
@@ -122,12 +125,15 @@ class ACMConv(nn.Module):
             )
 
         # acmgcn / acmgcnp / acmgcnpp / acmsnowball
+        # Both channel aggregations share one fused gather (spmm_dual).
         if self.variant:  # ACMII: propagate post-activation features
-            h_low = spmm(ops.adj_low, jax.nn.relu(x @ w_low))
-            h_high = spmm_high(ops.adj_hp, jax.nn.relu(x @ w_high))
+            h_low, h_high = spmm_dual(
+                ops.adj_low, jax.nn.relu(x @ w_low), jax.nn.relu(x @ w_high)
+            )
         else:
-            h_low = jax.nn.relu(spmm(ops.adj_low, x @ w_low))
-            h_high = jax.nn.relu(spmm_high(ops.adj_hp, x @ w_high))
+            h_low, h_high = spmm_dual(ops.adj_low, x @ w_low, x @ w_high)
+            h_low = jax.nn.relu(h_low)
+            h_high = jax.nn.relu(h_high)
         h_mlp = jax.nn.relu(x @ w_mlp)
 
         use_structure = (

@@ -93,3 +93,22 @@ def spmm_high(op_low: SparseOp, x: jnp.ndarray) -> jnp.ndarray:
     (adj_high construction: /root/reference/ACM-Pytorch/utils.py:622,627).
     """
     return x - spmm(op_low, x)
+
+
+def spmm_dual(op_low: SparseOp, z_low: jnp.ndarray, z_high: jnp.ndarray):
+    """Fused ACM channel aggregation: ``(A z_low, z_high - A z_high)``.
+
+    The two products share the operator's column indices, so for
+    gather-based formats both are computed from ONE gather over
+    ``concat([z_low, z_high], axis=1)`` — same nnz traffic but twice the
+    gather row width (512B rows DMA far better than 256B) and half the
+    index processing.  Backward inherits the same fusion through the
+    concat/split.
+    """
+    if isinstance(op_low, DenseOp):
+        # MXU path: XLA handles the shared-A fusion well already.
+        low = spmm(op_low, z_low)
+        return low, z_high - spmm(op_low, z_high)
+    d = z_low.shape[1]
+    both = spmm(op_low, jnp.concatenate([z_low, z_high], axis=1))
+    return both[:, :d], z_high - both[:, d:]
