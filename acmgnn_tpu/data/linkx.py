@@ -285,4 +285,13 @@ def load_linkx_dataset(name: str, sub_dataset: str = "") -> GraphData:
             f"unsupported large-scale dataset {name!r}; supported: "
             f"{sorted(_LOADERS)}"
         )
-    return _LOADERS[name](sub_dataset)
+    data = _LOADERS[name](sub_dataset)
+    # Attach the LINKX fixed 50/25/25 split files when present
+    # (/root/reference/ACM-Geometric/data_utils.py:80-96).
+    try:
+        from acmgnn_tpu.data.splits import load_linkx_split_masks
+
+        data.splits = load_linkx_split_masks(name, sub_dataset)
+    except FileNotFoundError:
+        pass
+    return data

@@ -49,12 +49,19 @@ class EllHalf(struct.PyTreeNode):
 
 
 class EllOp(struct.PyTreeNode):
-    """Bucketed-ELL operator with precomputed transpose."""
+    """Bucketed-ELL operator with precomputed transpose.
+
+    ``gather_dtype``: dtype the dense operand is cast to for the gather
+    (the dominant HBM traffic).  ``bfloat16`` halves SpMM bandwidth;
+    accumulation stays float32 either way.  Default float32 for exact
+    reference parity.
+    """
 
     fwd: EllHalf
     bwd: EllHalf
     num_nodes: int = struct.field(pytree_node=False)
     nnz: int = struct.field(pytree_node=False)
+    gather_dtype: Any = struct.field(pytree_node=False, default=jnp.float32)
 
 
 def _build_half(csr: sp.csr_matrix, kc: int, min_bucket_rows: int) -> EllHalf:
@@ -110,7 +117,11 @@ def _build_half(csr: sp.csr_matrix, kc: int, min_bucket_rows: int) -> EllHalf:
 
 
 def make_ell_op(
-    mat: sp.spmatrix, *, kc: int = 8, min_bucket_rows: int = 1024
+    mat: sp.spmatrix,
+    *,
+    kc: int = 8,
+    min_bucket_rows: int = 1024,
+    gather_dtype=jnp.float32,
 ) -> EllOp:
     csr = sp.csr_matrix(mat)
     return EllOp(
@@ -118,29 +129,39 @@ def make_ell_op(
         bwd=_build_half(csr.T.tocsr(), kc, min_bucket_rows),
         num_nodes=csr.shape[0],
         nnz=int(csr.nnz),
+        gather_dtype=gather_dtype,
     )
 
 
 def _bucket_spmm(bucket: EllBucket, x: jnp.ndarray) -> jnp.ndarray:
-    """Scatter-free aggregation for one bucket: scan over slot chunks."""
+    """Scatter-free aggregation for one bucket: scan over slot chunks.
+
+    ``x`` may be lower precision (bf16 gather traffic); per-chunk products
+    are reduced into a float32 accumulator.
+    """
     n_rows, k = bucket.cols.shape
     d = x.shape[1]
     kc = min(bucket.kc, k)
     nchunks = -(-k // kc)
     k_pad = nchunks * kc
     cols = jnp.pad(bucket.cols, ((0, 0), (0, k_pad - k)))
-    vals = jnp.pad(bucket.vals, ((0, 0), (0, k_pad - k)))
+    vals = jnp.pad(bucket.vals, ((0, 0), (0, k_pad - k))).astype(x.dtype)
+
+    def chunk_sum(c, v):
+        prod = jnp.take(x, c, axis=0) * v[..., None]
+        return jnp.sum(prod, axis=1, dtype=jnp.float32)
+
     if nchunks == 1:
-        return (jnp.take(x, cols, axis=0) * vals[..., None]).sum(axis=1)
+        return chunk_sum(cols, vals)
     cols_s = cols.reshape(n_rows, nchunks, kc).transpose(1, 0, 2)
     vals_s = vals.reshape(n_rows, nchunks, kc).transpose(1, 0, 2)
 
     def body(acc, cv):
         c, v = cv
-        return acc + (jnp.take(x, c, axis=0) * v[..., None]).sum(axis=1), None
+        return acc + chunk_sum(c, v), None
 
     out, _ = jax.lax.scan(
-        body, jnp.zeros((n_rows, d), x.dtype), (cols_s, vals_s)
+        body, jnp.zeros((n_rows, d), jnp.float32), (cols_s, vals_s)
     )
     return out
 
@@ -149,15 +170,18 @@ def _half_spmm(half: EllHalf, x: jnp.ndarray) -> jnp.ndarray:
     parts = [_bucket_spmm(b, x) for b in half.buckets]
     if half.num_zero_rows:
         parts.append(
-            jnp.zeros((half.num_zero_rows, x.shape[1]), x.dtype)
+            jnp.zeros((half.num_zero_rows, x.shape[1]), jnp.float32)
         )
-    concat = jnp.concatenate(parts, axis=0) if parts else jnp.zeros_like(x)
+    if parts:
+        concat = jnp.concatenate(parts, axis=0)
+    else:
+        concat = jnp.zeros(x.shape, jnp.float32)
     return jnp.take(concat, half.inv_perm, axis=0)
 
 
 @jax.custom_vjp
 def ell_spmm(op: EllOp, x: jnp.ndarray) -> jnp.ndarray:
-    return _half_spmm(op.fwd, x)
+    return _half_spmm(op.fwd, x.astype(op.gather_dtype))
 
 
 def _ell_fwd(op, x):
@@ -165,7 +189,7 @@ def _ell_fwd(op, x):
 
 
 def _ell_bwd(op, g):
-    dx = _half_spmm(op.bwd, g)
+    dx = _half_spmm(op.bwd, g.astype(op.gather_dtype))
     return jax.tree_util.tree_map(jnp.zeros_like, op), dx
 
 

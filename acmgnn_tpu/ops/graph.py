@@ -266,8 +266,9 @@ def precompute_operators(
     normalization: str = "row",       # "row" = D^-1(A+I) | "sym" = D^-1/2(A+I)D^-1/2
     hops: int = 1,                    # acmsgc: use A_hat^k as the low-pass
     structure_info: bool = False,     # also ship raw A for the structure channel
-    fmt: str = "auto",                # "auto" | "dense" | "coo"
+    fmt: str = "auto",                # "auto" | "dense" | "coo" | "ell"
     dense_threshold: int = DEFAULT_DENSE_THRESHOLD,
+    spmm_dtype=None,                  # e.g. jnp.bfloat16: halve ELL gather traffic
 ) -> Operators:
     """Build the device operator bundle from a raw adjacency matrix."""
     adj = sp.csr_matrix(adj)
@@ -297,7 +298,10 @@ def precompute_operators(
     elif fmt == "ell":
         from acmgnn_tpu.ops.ell import make_ell_op
 
-        make = make_ell_op
+        if spmm_dtype is not None:
+            make = partial(make_ell_op, gather_dtype=spmm_dtype)
+        else:
+            make = make_ell_op
     else:
         raise ValueError(f"unknown operator format: {fmt!r}")
 

@@ -44,7 +44,8 @@ class TrainConfig:
 
     # data/operators
     normalization: str = "row"        # low-pass normalization
-    operator_format: str = "auto"     # "auto" | "dense" | "coo"
+    operator_format: str = "auto"     # "auto" | "dense" | "coo" | "ell"
+    spmm_dtype: str = "float32"       # "bfloat16": halve ELL gather traffic
     feature_normalize: Optional[bool] = None  # None => reference rule
 
     def resolve_layernorm(self) -> bool:

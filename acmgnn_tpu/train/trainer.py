@@ -238,6 +238,25 @@ def train_single_split(
     return runner(variables, run_key, ops, x, labels, labels_onehot, masks)
 
 
+def resolve_split(data: GraphData, cfg: TrainConfig, idx: int, rng, labels,
+                  nclass: int):
+    """One (train, val, test) bool-mask triple per protocol:
+
+    - dataset-attached splits (LINKX 50/25/25 .npy index files);
+    - bundled fixed Geom-GCN .npz masks;
+    - random disassortative 60/20/20.
+    """
+    from acmgnn_tpu.data.splits import indices_to_masks
+
+    n = data.num_nodes
+    if data.splits is not None and cfg.fixed_splits:
+        s = data.splits[idx % len(data.splits)]
+        return indices_to_masks(n, s["train"], s["valid"], s["test"])
+    if cfg.fixed_splits:
+        return load_fixed_split_masks(data.name, idx)
+    return random_disassortative_splits(np.asarray(labels), nclass, rng=rng)
+
+
 def make_epoch_fns(model: ACMGNN, cfg: TrainConfig, tx=None):
     """Stepwise (one-epoch-at-a-time) train/eval functions for the
     observable path: per-epoch display, RunStats accumulation, and
@@ -331,12 +350,8 @@ def run_experiment_stepwise(
     for idx in range(cfg.num_splits):
         if splits is not None:
             tr, va, te = splits[idx]
-        elif cfg.fixed_splits:
-            tr, va, te = load_fixed_split_masks(data.name, idx)
         else:
-            tr, va, te = random_disassortative_splits(
-                np.asarray(labels), nclass, rng=rng
-            )
+            tr, va, te = resolve_split(data, cfg, idx, rng, labels, nclass)
         masks = tuple(jnp.asarray(m) for m in (tr, va, te))
 
         split_key = jax.random.fold_in(key, idx)
@@ -409,6 +424,9 @@ def prepare_data(dataset: GraphData | str, cfg: TrainConfig):
         hops=cfg.hops if cfg.model_type == "acmsgc" else 1,
         structure_info=cfg.structure_info,
         fmt=cfg.operator_format,
+        spmm_dtype=(
+            jnp.bfloat16 if cfg.spmm_dtype == "bfloat16" else None
+        ),
     )
     labels = np.asarray(data.labels)
     if labels.ndim > 1 and labels.shape[1] == 1:
@@ -450,12 +468,8 @@ def run_experiment(
     for idx in range(cfg.num_splits):
         if splits is not None:
             tr, va, te = splits[idx]
-        elif cfg.fixed_splits:
-            tr, va, te = load_fixed_split_masks(data.name, idx)
         else:
-            tr, va, te = random_disassortative_splits(
-                np.asarray(labels), nclass, rng=rng
-            )
+            tr, va, te = resolve_split(data, cfg, idx, rng, labels, nclass)
         masks = tuple(jnp.asarray(m) for m in (tr, va, te))
 
         split_key = jax.random.fold_in(key, idx)
