@@ -48,6 +48,7 @@ def _add_train_args(p: argparse.ArgumentParser):
     p.add_argument("--optimizer", choices=["adam", "adamw"], default="adam")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--rocauc", action="store_true")
+    p.add_argument("--directed", action="store_true")
     p.add_argument("--selection", choices=["val_loss", "val_metric"],
                    default=None)
     p.add_argument("--operator_format", choices=["auto", "dense", "coo"],
@@ -89,6 +90,8 @@ def config_from_args(args) -> TrainConfig:
         loss="bce" if use_rocauc else "nll",
         num_splits=args.num_splits,
         fixed_splits=bool(args.fixed_splits),
+        directed=bool(args.directed),
+        sub_dataset=args.sub_dataset,
         seed=args.seed,
         normalization=args.normalization,
         operator_format=args.operator_format,

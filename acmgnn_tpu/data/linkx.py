@@ -108,33 +108,36 @@ def load_deezer_europe() -> GraphData:
     return GraphData(name="deezer-europe", adj=a, features=features, labels=labels)
 
 
-def load_genius() -> GraphData:
+def load_genius(directed: bool = False) -> GraphData:
     mat = scipy.io.loadmat(find_data_file(LARGE, "genius.mat"))
     edge_index = np.asarray(mat["edge_index"], dtype=np.int64)
     features = np.asarray(mat["node_feat"], dtype=np.float32)
     labels = np.asarray(mat["label"]).squeeze().astype(np.int32)
-    adj = _edges_to_adj(edge_index, labels.shape[0])
+    adj = _edges_to_adj(edge_index, labels.shape[0], symmetrize=not directed)
     return GraphData(name="genius", adj=adj, features=features, labels=labels)
 
 
-def load_pokec() -> GraphData:
+def load_pokec(directed: bool = False) -> GraphData:
     mat = scipy.io.loadmat(find_data_file(LARGE, "pokec.mat"))
     edge_index = np.asarray(mat["edge_index"], dtype=np.int64)
     features = np.asarray(mat["node_feat"], dtype=np.float32)
     num_nodes = int(mat["num_nodes"])
     labels = np.asarray(mat["label"]).flatten().astype(np.int32)
-    adj = _edges_to_adj(edge_index, num_nodes)
+    adj = _edges_to_adj(edge_index, num_nodes, symmetrize=not directed)
     return GraphData(name="pokec", adj=adj, features=features, labels=labels)
 
 
-def load_snap_patents(nclass: int = 5) -> GraphData:
+def load_snap_patents(nclass: int = 5, directed: bool = False) -> GraphData:
+    """snap-patents is temporally directed; the reference usually trains it
+    with --directed (no symmetrization,
+    /root/reference/ACM-Geometric/train.py:63-67)."""
     mat = scipy.io.loadmat(find_data_file(LARGE, "snap_patents.mat"))
     edge_index = np.asarray(mat["edge_index"], dtype=np.int64)
     features = np.asarray(mat["node_feat"].todense(), dtype=np.float32)
     num_nodes = int(mat["num_nodes"])
     years = np.asarray(mat["years"]).flatten()
     labels = even_quantile_labels(years, nclass).astype(np.int32)
-    adj = _edges_to_adj(edge_index, num_nodes)
+    adj = _edges_to_adj(edge_index, num_nodes, symmetrize=not directed)
     return GraphData(name="snap-patents", adj=adj, features=features, labels=labels)
 
 
@@ -255,37 +258,39 @@ def _load_ogb_arxiv_raw():
     return edge_index, node_feat, node_year
 
 
-def load_arxiv_year(nclass: int = 5) -> GraphData:
+def load_arxiv_year(nclass: int = 5, directed: bool = False) -> GraphData:
     edge_index, node_feat, node_year = _load_ogb_arxiv_raw()
     labels = even_quantile_labels(
         node_year.astype(np.float64), nclass
     ).astype(np.int32)
-    adj = _edges_to_adj(edge_index, node_feat.shape[0])
+    adj = _edges_to_adj(edge_index, node_feat.shape[0], symmetrize=not directed)
     return GraphData(name="arxiv-year", adj=adj, features=node_feat, labels=labels)
 
 
 _LOADERS = {
-    "Penn94": lambda sub: load_fb100("Penn94"),
-    "fb100": lambda sub: load_fb100(sub or "Penn94"),
-    "deezer-europe": lambda sub: load_deezer_europe(),
-    "genius": lambda sub: load_genius(),
-    "pokec": lambda sub: load_pokec(),
-    "snap-patents": lambda sub: load_snap_patents(),
-    "yelp-chi": lambda sub: load_yelpchi(),
-    "twitch-e": lambda sub: load_twitch_explicit(sub or "DE"),
-    "twitch-gamer": lambda sub: load_twitch_gamer(),
-    "wiki": lambda sub: load_wiki(),
-    "arxiv-year": lambda sub: load_arxiv_year(),
+    "Penn94": lambda sub, directed: load_fb100("Penn94"),
+    "fb100": lambda sub, directed: load_fb100(sub or "Penn94"),
+    "deezer-europe": lambda sub, directed: load_deezer_europe(),
+    "genius": lambda sub, directed: load_genius(directed),
+    "pokec": lambda sub, directed: load_pokec(directed),
+    "snap-patents": lambda sub, directed: load_snap_patents(directed=directed),
+    "yelp-chi": lambda sub, directed: load_yelpchi(),
+    "twitch-e": lambda sub, directed: load_twitch_explicit(sub or "DE"),
+    "twitch-gamer": lambda sub, directed: load_twitch_gamer(),
+    "wiki": lambda sub, directed: load_wiki(),
+    "arxiv-year": lambda sub, directed: load_arxiv_year(directed=directed),
 }
 
 
-def load_linkx_dataset(name: str, sub_dataset: str = "") -> GraphData:
+def load_linkx_dataset(
+    name: str, sub_dataset: str = "", directed: bool = False
+) -> GraphData:
     if name not in _LOADERS:
         raise ValueError(
             f"unsupported large-scale dataset {name!r}; supported: "
             f"{sorted(_LOADERS)}"
         )
-    data = _LOADERS[name](sub_dataset)
+    data = _LOADERS[name](sub_dataset, directed)
     # Attach the LINKX fixed 50/25/25 split files when present
     # (/root/reference/ACM-Geometric/data_utils.py:80-96).
     try:

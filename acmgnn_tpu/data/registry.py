@@ -45,12 +45,16 @@ def row_normalize_features(features: np.ndarray) -> np.ndarray:
     return (features * inv).astype(np.float32)
 
 
-def load_dataset(name: str, sub_dataset: str = "") -> GraphData:
+def load_dataset(
+    name: str, sub_dataset: str = "", directed: bool = False
+) -> GraphData:
     """Load any supported dataset into a ``GraphData``.
 
     Small datasets load from the bundled reference files; LINKX large-scale
     sets load from local copies (this environment has no network egress —
     see ``acmgnn_tpu.data.linkx`` for the expected file layout).
+    ``directed`` skips edge symmetrization for the temporally-directed
+    LINKX graphs (reference ``--directed``).
     """
     if name in PLANETOID_DATASETS:
         adj, features, labels = load_planetoid(name)
@@ -59,7 +63,7 @@ def load_dataset(name: str, sub_dataset: str = "") -> GraphData:
     elif name in LINKX_DATASETS:
         from acmgnn_tpu.data import linkx
 
-        return linkx.load_linkx_dataset(name, sub_dataset)
+        return linkx.load_linkx_dataset(name, sub_dataset, directed)
     elif name.startswith("synthetic"):
         raise ValueError(
             "synthetic graphs are loaded via acmgnn_tpu.data.synthetic."

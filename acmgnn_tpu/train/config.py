@@ -40,6 +40,8 @@ class TrainConfig:
     loss: str = "nll"                 # "nll" | "bce"
     num_splits: int = 10
     fixed_splits: bool = False        # bundled Geom-GCN .npz masks
+    directed: bool = False            # skip edge symmetrization (LINKX)
+    sub_dataset: str = ""             # twitch-e lang / fb100 school
     seed: int = 42
 
     # data/operators

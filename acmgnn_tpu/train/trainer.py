@@ -413,7 +413,10 @@ def run_experiment_stepwise(
 
 def prepare_data(dataset: GraphData | str, cfg: TrainConfig):
     """Load + preprocess a dataset into device arrays + operators."""
-    data = load_dataset(dataset) if isinstance(dataset, str) else dataset
+    if isinstance(dataset, str):
+        data = load_dataset(dataset, cfg.sub_dataset, directed=cfg.directed)
+    else:
+        data = dataset
     features = data.features
     if cfg.resolve_feature_normalize():
         features = row_normalize_features(features)
