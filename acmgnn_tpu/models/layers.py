@@ -100,9 +100,25 @@ class ACMConv(nn.Module):
             w_mlp = self.param("weight_mlp", w_init, (f_in, f_out))
             return x @ w_mlp
 
-        if self.model_type in ("sgc", "gcn"):
+        if self.model_type in ("sgc", "gcn", "snowball"):
             w_low = self.param("weight_low", w_init, (f_in, f_out))
             return spmm(ops.adj_low, x @ w_low)
+
+        if self.model_type == "acmgraphsage":
+            # ACM channel mixing over SAGE-style transforms (the reference
+            # lists this model but never implements it).
+            h_low = jax.nn.relu(
+                SAGEConv(f_out, name="sage_low")(x, ops)
+            )
+            h_high = jax.nn.relu(
+                SAGEConv(f_out, high_pass=True, name="sage_high")(x, ops)
+            )
+            w_mlp = self.param("weight_mlp", w_init, (f_in, f_out))
+            h_mlp = jax.nn.relu(x @ w_mlp)
+            att = self._attention([h_low, h_high, h_mlp])
+            return 3.0 * (
+                att[:, 0:1] * h_low + att[:, 1:2] * h_high + att[:, 2:3] * h_mlp
+            )
 
         w_low = self.param("weight_low", w_init, (f_in, f_out))
         w_high = self.param("weight_high", w_init, (f_in, f_out))
@@ -158,6 +174,52 @@ class ACMConv(nn.Module):
         return 3.0 * (
             att[:, 0:1] * h_low + att[:, 1:2] * h_high + att[:, 2:3] * h_mlp
         )
+
+
+class SAGEConv(nn.Module):
+    """GraphSAGE-style convolution: ``[x || A_hat x] W``.
+
+    The reference lists ``graphsage`` as a CLI choice but never implements
+    it (/root/reference/ACM-Pytorch/arg_parser.py:22-41 vs
+    models/models.py:50-92 — constructing it crashes).  This is a working
+    mean-aggregator SAGE layer using the framework's row-normalized
+    operator (self-loop-inclusive mean).
+    """
+
+    out_features: int
+    high_pass: bool = False   # aggregate with (I - A_hat) instead (ACM use)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, ops: Operators) -> jnp.ndarray:
+        agg = spmm_high(ops.adj_hp, x) if self.high_pass else spmm(
+            ops.adj_low, x
+        )
+        f_in = x.shape[-1]
+        w_init = _uniform(1.0 / float(self.out_features) ** 0.5)
+        w_self = self.param("weight_self", w_init, (f_in, self.out_features))
+        w_agg = self.param("weight_agg", w_init, (f_in, self.out_features))
+        return x @ w_self + agg @ w_agg
+
+
+class GCNIIConv(nn.Module):
+    """GCNII layer: ``((1-a) A_hat h + a h0)((1-b_l) I + b_l W)`` with
+    ``b_l = log(lambda/l + 1)`` (Chen et al. 2020).  ``gcnII`` is another
+    dead CLI choice in the reference; implemented here for real."""
+
+    out_features: int
+    layer_index: int = 1
+    alpha: float = 0.1
+    lamda: float = 0.5
+
+    @nn.compact
+    def __call__(
+        self, h: jnp.ndarray, h0: jnp.ndarray, ops: Operators
+    ) -> jnp.ndarray:
+        beta = math.log(self.lamda / self.layer_index + 1.0)
+        support = (1.0 - self.alpha) * spmm(ops.adj_low, h) + self.alpha * h0
+        w_init = _uniform(1.0 / float(self.out_features) ** 0.5)
+        w = self.param("weight", w_init, (h.shape[-1], self.out_features))
+        return (1.0 - beta) * support + beta * (support @ w)
 
 
 class MLPBlock(nn.Module):

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from acmgnn_tpu.models.layers import ACMConv, MLPBlock
+from acmgnn_tpu.models.layers import ACMConv, GCNIIConv, MLPBlock, SAGEConv
 from acmgnn_tpu.ops.graph import Operators
 
 MODEL_TYPES = (
@@ -40,12 +40,18 @@ MODEL_TYPES = (
     "acmgcnpp",
     "acmsgc",
     "acmsnowball",
+    "acmgraphsage",
     "gcn",
     "sgc",
     "mlp",
+    "graphsage",
+    "snowball",
+    "gcnII",
 )
 
-_ACM_FAMILY = ("acmgcn", "acmgcnp", "acmgcnpp", "acmsgc", "acmsnowball")
+_ACM_FAMILY = (
+    "acmgcn", "acmgcnp", "acmgcnpp", "acmsgc", "acmsnowball", "acmgraphsage"
+)
 
 
 class ACMGNN(nn.Module):
@@ -61,6 +67,8 @@ class ACMGNN(nn.Module):
     use_layernorm: bool = False      # LN-pre-attention (geometric pipeline)
     nnodes: Optional[int] = None     # required when structure_info
     init_layers_X: int = 1           # acmgcnpp skip-MLP depth
+    alpha: float = 0.1               # gcnII initial-residual strength
+    lamda: float = 0.5               # gcnII identity-map decay
 
     def _conv(self, out_features: int, name: str) -> ACMConv:
         return ACMConv(
@@ -95,7 +103,8 @@ class ACMGNN(nn.Module):
             )(x, training=training)
             xx = drop(jax.nn.relu(mlp_x))
 
-        if self.model_type == "acmsnowball":
+        if self.model_type in ("acmsnowball", "snowball"):
+            # densely-concatenated snowball stacking
             blocks = []
             for k in range(self.nlayers):
                 inp = jnp.concatenate([x] + blocks, axis=1) if blocks else x
@@ -107,7 +116,29 @@ class ACMGNN(nn.Module):
         if self.model_type in ("acmsgc", "sgc"):
             return self._conv(self.nclass, "gcn_0")(x, ops)
 
-        # 2-layer stacks: acmgcn / acmgcnp / acmgcnpp / gcn / mlp
+        if self.model_type == "graphsage":
+            fea1 = drop(jax.nn.relu(SAGEConv(self.nhid, name="sage_0")(x, ops)))
+            return SAGEConv(self.nclass, name="sage_1")(fea1, ops)
+
+        if self.model_type == "gcnII":
+            h = drop(x)
+            h = jax.nn.relu(nn.Dense(self.nhid, name="fc_in")(h))
+            h0 = h
+            for l in range(1, max(self.nlayers, 1) + 1):
+                h = drop(h)
+                h = jax.nn.relu(
+                    GCNIIConv(
+                        self.nhid,
+                        layer_index=l,
+                        alpha=self.alpha,
+                        lamda=self.lamda,
+                        name=f"gcnII_{l}",
+                    )(h, h0, ops)
+                )
+            return nn.Dense(self.nclass, name="fc_out")(drop(h))
+
+        # 2-layer stacks: acmgcn / acmgcnp / acmgcnpp / acmgraphsage /
+        # gcn / mlp
         fea1 = self._conv(self.nhid, "gcn_0")(x, ops)
         fea1 = drop(jax.nn.relu(fea1))
         if self.model_type == "acmgcnpp":

@@ -64,21 +64,27 @@ class EllOp(struct.PyTreeNode):
     gather_dtype: Any = struct.field(pytree_node=False, default=jnp.float32)
 
 
-def _build_half(csr: sp.csr_matrix, kc: int, min_bucket_rows: int) -> EllHalf:
+def _build_half(
+    csr: sp.csr_matrix, kc: int, min_bucket_rows: int,
+    bucket_ratio: float = 0.75,
+) -> EllHalf:
     n = csr.shape[0]
     deg = np.diff(csr.indptr)
     order = np.argsort(-deg, kind="stable")  # high degree first
     sorted_deg = deg[order]
 
-    # bucket boundaries: split where degree halves (power-of-two ranges),
-    # merging tiny buckets forward to bound bucket count
+    # Bucket boundaries: a bucket spans rows whose degree stays above
+    # ``bucket_ratio * k_max``, bounding pad expansion to ~1/ratio while
+    # keeping bucket count logarithmic.  The gather is descriptor-bound on
+    # TPU (measured: bf16 rows gain nothing), so wasted pad slots cost
+    # exactly their row-fetch count — tight buckets matter more than
+    # narrow rows.
     buckets = []
     start = 0
     nz_rows = int((sorted_deg > 0).sum())
     while start < nz_rows:
         k_max = int(sorted_deg[start])
-        # all rows with degree > k_max/2 share this bucket
-        lo = max(k_max // 2, 0)
+        lo = max(int(k_max * bucket_ratio), 0)
         end = int(np.searchsorted(-sorted_deg, -lo, side="left"))
         if end <= start:
             end = start + 1
