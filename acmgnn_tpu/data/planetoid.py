@@ -50,6 +50,23 @@ def _adj_from_graph_dict(graph: dict, num_nodes: int) -> sp.csr_matrix:
     return a.tocsr()
 
 
+def planetoid_standard_split(name: str, num_nodes: int):
+    """The classic semi-supervised split encoded by the ind.* files:
+    train = the ``x`` rows, val = the next 500, test = the test index file
+    (matches PyG's Planetoid 'public' split used by
+    /root/reference/ACM-Geometric/dataset.py:296-326)."""
+    x = _load_pickle(name, "x")
+    y = _load_pickle(name, "y")
+    test_idx = _parse_index_file(name)
+    train_idx = np.arange(x.shape[0])
+    val_idx = np.arange(x.shape[0], x.shape[0] + 500)
+    return {
+        "train": train_idx,
+        "valid": val_idx,
+        "test": np.sort(test_idx),
+    }
+
+
 def load_planetoid(name: str):
     """Returns ``(adj, features, labels)`` as (csr, float32 [N,F], int32 [N])."""
     x, y, tx, ty, allx, ally, graph = (

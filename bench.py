@@ -164,18 +164,72 @@ def bench_texas(epochs=500):
     }
 
 
+def bench_scaling(max_devices=None, repeats=20):
+    """Sharded-SpMM scaling efficiency across the available mesh sizes.
+
+    On a real multi-chip slice this measures the BASELINE.json target
+    (>=80% edges/s efficiency 1 chip -> N); with virtual CPU devices it
+    validates the harness and the collective overhead shape only.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from acmgnn_tpu.ops.graph import row_normalized_adjacency
+    from acmgnn_tpu.parallel.sharded import (
+        make_graph_mesh,
+        make_sharded_coo_op,
+        shard_node_array,
+        sharded_spmm,
+    )
+
+    adj, features, _ = _twitch_gamers_scale_graph()
+    a_hat = row_normalized_adjacency(adj)
+    x_np = np.random.default_rng(0).normal(
+        size=(adj.shape[0], 64)
+    ).astype(np.float32)
+
+    ndev_avail = len(jax.devices())
+    sizes = [s for s in (1, 2, 4, 8, 16) if s <= (max_devices or ndev_avail)]
+    rows = []
+    for nd in sizes:
+        mesh = make_graph_mesh(jax.devices()[:nd])
+        op, boundaries = make_sharded_coo_op(a_hat, mesh)
+        x = shard_node_array(x_np, boundaries, op.rows_per_part, mesh)
+        f = jax.jit(lambda x_: sharded_spmm(op, x_, mesh))
+        jax.block_until_ready(f(x))
+        t0 = time.perf_counter()
+        out = x
+        for _ in range(repeats):
+            out = f(out)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / repeats
+        rows.append({"devices": nd, "edges_per_s": round(op.nnz / dt)})
+    base = rows[0]["edges_per_s"]
+    for r in rows:
+        r["efficiency"] = round(r["edges_per_s"] / (base * r["devices"]), 3)
+    return {
+        "metric": "sharded_spmm_scaling",
+        "value": rows[-1]["efficiency"],
+        "unit": "efficiency@max_devices",
+        "vs_baseline": None,
+        "detail": {"rows": rows, "device": str(jax.devices()[0])},
+    }
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument(
         "--scenario",
         default="epoch",
-        choices=["epoch", "spmm", "texas"],
+        choices=["epoch", "spmm", "texas", "scaling"],
     )
     args = p.parse_args()
     if args.scenario == "epoch":
         result = bench_epoch_twitch_scale()
     elif args.scenario == "spmm":
         result = bench_spmm()
+    elif args.scenario == "scaling":
+        result = bench_scaling()
     else:
         result = bench_texas()
     print(json.dumps(result))
