@@ -445,6 +445,104 @@ def prepare_data(dataset: GraphData | str, cfg: TrainConfig):
     ), nclass
 
 
+def run_experiment_sharded(
+    dataset: GraphData | str,
+    cfg: TrainConfig,
+    mesh=None,
+    *,
+    logger=None,
+    pad_multiple: int = 512,
+) -> dict:
+    """Multi-chip full-batch training over a ``Mesh``.
+
+    The graph operator is nnz-balanced row-partitioned (shard_map SpMM
+    with ICI all-gather, acmgnn_tpu/parallel/sharded.py); node arrays are
+    padded + row-sharded; weights replicate.  The SAME fused while-loop
+    runner as the single-chip path drives training — sharding propagates
+    through it, metric reductions become psums.  This is the capability
+    the reference lacks entirely (SURVEY.md §2.9b: single device or OOM).
+    """
+    from acmgnn_tpu.parallel.sharded import (
+        make_graph_mesh,
+        make_sharded_operators,
+        shard_node_array,
+    )
+
+    if mesh is None:
+        mesh = make_graph_mesh()
+    data = (
+        load_dataset(dataset, cfg.sub_dataset, directed=cfg.directed)
+        if isinstance(dataset, str)
+        else dataset
+    )
+    features = data.features
+    if cfg.resolve_feature_normalize():
+        features = row_normalize_features(features)
+
+    ops, boundaries, rpp = make_sharded_operators(
+        data.adj,
+        mesh,
+        normalization=cfg.normalization,
+        structure_info=cfg.structure_info,
+        pad_multiple=pad_multiple,
+    )
+    labels_np = np.asarray(data.labels)
+    if labels_np.ndim > 1 and labels_np.shape[1] == 1:
+        labels_np = labels_np[:, 0]
+    nclass = data.num_classes
+    onehot_np = (
+        np.eye(nclass, dtype=np.float32)[labels_np]
+        if labels_np.ndim == 1
+        else labels_np.astype(np.float32)
+    )
+
+    x = shard_node_array(features, boundaries, rpp, mesh)
+    labels = shard_node_array(labels_np.astype(np.int32), boundaries, rpp, mesh)
+    labels_onehot = shard_node_array(onehot_np, boundaries, rpp, mesh)
+
+    n_padded = int(x.shape[0])
+    model = build_model(cfg, nclass, n_padded)
+    runner = jax.jit(make_split_runner(model, cfg))
+
+    rng = np.random.default_rng(cfg.seed)
+    key = jax.random.key(cfg.seed)
+    results = []
+    t_total = time.time()
+    epochs_total = 0
+    for idx in range(cfg.num_splits):
+        tr, va, te = resolve_split(data, cfg, idx, rng, labels_np, nclass)
+        masks = tuple(
+            shard_node_array(m, boundaries, rpp, mesh) for m in (tr, va, te)
+        )
+        split_key = jax.random.fold_in(key, idx)
+        init_key, run_key = jax.random.split(split_key)
+        variables = model.init(init_key, x, ops)
+        res = jax.device_get(
+            runner(variables, run_key, ops, x, labels, labels_onehot, masks)
+        )
+        results.append(res)
+        epochs_total += int(res.epochs_run)
+        if logger is not None:
+            logger.log_split(idx, res)
+
+    elapsed = time.time() - t_total
+    test = np.array([float(r.test_metric) for r in results])
+    out = {
+        "dataset": data.name,
+        "model": cfg.model_type,
+        "devices": int(mesh.devices.size),
+        "test_mean": float(test.mean()),
+        "test_std": float(test.std()),
+        "per_split": test.tolist(),
+        "epochs_total": epochs_total,
+        "runtime_s": elapsed,
+        "epoch_ms_avg": 1000.0 * elapsed / max(epochs_total, 1),
+    }
+    if logger is not None:
+        logger.log_result(out)
+    return out
+
+
 def run_experiment(
     dataset: GraphData | str,
     cfg: TrainConfig,

@@ -150,3 +150,24 @@ def test_structure_info_shares_boundaries(small_graph, mesh):
     )
     assert ops.adj_unnorm is not None
     assert ops.adj_unnorm.rows_per_part == ops.adj_low.rows_per_part
+
+
+def test_run_experiment_sharded_end_to_end(mesh):
+    """Full multi-split sharded training on texas over the 8-device mesh
+    reaches sane accuracy (same protocol as the single-chip path)."""
+    from acmgnn_tpu.train.config import TrainConfig
+    from acmgnn_tpu.train.trainer import run_experiment, run_experiment_sharded
+
+    cfg = TrainConfig(
+        model_type="acmgcn",
+        hidden=32,
+        epochs=200,
+        early_stopping=100,
+        num_splits=2,
+        fixed_splits=True,
+        dropout=0.3,
+        operator_format="coo",
+    )
+    out = run_experiment_sharded("texas", cfg, mesh, pad_multiple=64)
+    assert out["devices"] == 8
+    assert out["test_mean"] > 0.6, out
