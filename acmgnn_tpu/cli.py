@@ -174,6 +174,26 @@ def cmd_gen_feats(args):
     print(f"wrote {len(paths)} feature realizations under {args.out_dir}")
 
 
+def cmd_synthetic_train(args):
+    from acmgnn_tpu.train.synthetic_exp import run_synthetic_experiment
+    from acmgnn_tpu.utils.logging import ExperimentLogger
+
+    cfg = config_from_args(args)
+    logger = ExperimentLogger(
+        name=f"synthetic_{args.model}_{args.edge_homo}", log_dir=args.log_dir
+    )
+    out = run_synthetic_experiment(
+        args.base_dir,
+        args.edge_homo,
+        graph_type=args.graph_type,
+        num_graph=args.num_graph,
+        features_dir=args.features_dir or None,
+        cfg=cfg,
+        logger=logger,
+    )
+    print(json.dumps(out))
+
+
 def cmd_homophily(args):
     from acmgnn_tpu.data import homophily as H
     from acmgnn_tpu.data.registry import load_dataset
@@ -224,6 +244,16 @@ def main(argv=None):
     p_gf.add_argument("--num_realizations", type=int, default=10)
     p_gf.add_argument("--seed", type=int, default=0)
     p_gf.set_defaults(fn=cmd_gen_feats)
+
+    p_st = sub.add_parser("synthetic-train")
+    _add_train_args(p_st)
+    p_st.add_argument("--base_dir", default="./synthetic_graphs")
+    p_st.add_argument("--graph_type", choices=["regular", "random"],
+                      default="random")
+    p_st.add_argument("--edge_homo", type=float, default=0.5)
+    p_st.add_argument("--num_graph", type=int, default=10)
+    p_st.add_argument("--features_dir", default="")
+    p_st.set_defaults(fn=cmd_synthetic_train)
 
     p_h = sub.add_parser("homophily")
     p_h.add_argument("--dataset", default="texas")

@@ -267,6 +267,33 @@ def load_arxiv_year(nclass: int = 5, directed: bool = False) -> GraphData:
     return GraphData(name="arxiv-year", adj=adj, features=node_feat, labels=labels)
 
 
+def load_ogbn_proteins() -> GraphData:
+    """ogbn-proteins from a preconverted ``ogbn_proteins.npz``
+    (edge_index [2,E], edge_feat [E,8], labels [N,112]).
+
+    Node features are the mean of incident edge features, matching the
+    reference's edge_index.mean(dim=1) trick
+    (/root/reference/ACM-Geometric/dataset.py:186-202); labels are
+    multilabel (BCE + per-column ROC-AUC training path).
+    """
+    with np.load(find_data_file(LARGE, "ogbn_proteins.npz")) as f:
+        edge_index = f["edge_index"].astype(np.int64)
+        edge_feat = f["edge_feat"].astype(np.float32)
+        labels = f["labels"].astype(np.float32)
+    n = labels.shape[0]
+    # undirected mean of incident edge features
+    src = np.concatenate([edge_index[0], edge_index[1]])
+    ef = np.concatenate([edge_feat, edge_feat], axis=0)
+    sums = np.zeros((n, edge_feat.shape[1]), np.float64)
+    np.add.at(sums, src, ef)
+    counts = np.bincount(src, minlength=n)[:, None].astype(np.float64)
+    node_feat = (sums / np.maximum(counts, 1.0)).astype(np.float32)
+    adj = _edges_to_adj(edge_index, n)
+    return GraphData(
+        name="ogbn-proteins", adj=adj, features=node_feat, labels=labels
+    )
+
+
 _LOADERS = {
     "Penn94": lambda sub, directed: load_fb100("Penn94"),
     "fb100": lambda sub, directed: load_fb100(sub or "Penn94"),
@@ -279,6 +306,7 @@ _LOADERS = {
     "twitch-gamer": lambda sub, directed: load_twitch_gamer(),
     "wiki": lambda sub, directed: load_wiki(),
     "arxiv-year": lambda sub, directed: load_arxiv_year(directed=directed),
+    "ogbn-proteins": lambda sub, directed: load_ogbn_proteins(),
 }
 
 
