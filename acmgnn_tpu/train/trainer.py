@@ -566,6 +566,8 @@ def run_experiment(
     results = []
     t_total = time.time()
     epochs_total = 0
+    steady_time = 0.0
+    steady_epochs = 0
     for idx in range(cfg.num_splits):
         if splits is not None:
             tr, va, te = splits[idx]
@@ -576,10 +578,14 @@ def run_experiment(
         split_key = jax.random.fold_in(key, idx)
         init_key, run_key = jax.random.split(split_key)
         variables = model.init(init_key, x, ops)
+        t_split = time.time()
         res = runner(variables, run_key, ops, x, labels, labels_onehot, masks)
         res = jax.device_get(res)
         results.append(res)
         epochs_total += int(res.epochs_run)
+        if idx > 0:  # split 0 pays the jit compile; exclude from epoch rate
+            steady_time += time.time() - t_split
+            steady_epochs += int(res.epochs_run)
         if logger is not None:
             logger.log_split(idx, res)
 
@@ -594,6 +600,10 @@ def run_experiment(
         "epochs_total": epochs_total,
         "runtime_s": elapsed,
         "epoch_ms_avg": 1000.0 * elapsed / max(epochs_total, 1),
+        # compile-free rate (splits after the first); the honest number
+        "epoch_ms_steady": (
+            1000.0 * steady_time / steady_epochs if steady_epochs else None
+        ),
     }
     if logger is not None:
         logger.log_result(out)
