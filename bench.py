@@ -84,11 +84,9 @@ def bench_epoch_twitch_scale(epochs=30, warmup=5):
     runner = jax.jit(make_split_runner(model, cfg))
     variables = model.init(jax.random.key(0), x, ops)
 
-    # warmup / compile
-    wcfg = TrainConfig(**{**cfg.__dict__, "epochs": warmup})
-    wrunner = jax.jit(make_split_runner(model, wcfg))
+    # warmup = first call of the SAME program (pays compile, discarded)
     jax.block_until_ready(
-        wrunner(variables, jax.random.key(1), ops, x, y, y1h, masks)
+        runner(variables, jax.random.key(1), ops, x, y, y1h, masks)
     )
 
     t0 = time.perf_counter()
@@ -157,10 +155,13 @@ def bench_texas(epochs=500):
     out = run_experiment("texas", cfg)
     return {
         "metric": "acmgcn_texas_epoch_ms",
-        "value": round(out["epoch_ms_avg"], 4),
+        "value": round(out["epoch_ms_steady"] or out["epoch_ms_avg"], 4),
         "unit": "ms/epoch",
         "vs_baseline": None,
-        "detail": {"test_mean": out["test_mean"]},
+        "detail": {
+            "test_mean": out["test_mean"],
+            "epoch_ms_with_compile": round(out["epoch_ms_avg"], 4),
+        },
     }
 
 
