@@ -44,6 +44,7 @@ from acmgnn_tpu.train.metrics import (
     masked_nll,
     masked_rocauc,
 )
+from acmgnn_tpu.utils.resilience import retry_transient
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
@@ -579,8 +580,13 @@ def run_experiment(
         init_key, run_key = jax.random.split(split_key)
         variables = model.init(init_key, x, ops)
         t_split = time.time()
-        res = runner(variables, run_key, ops, x, labels, labels_onehot, masks)
-        res = jax.device_get(res)
+        run_once = retry_transient(
+            lambda: jax.device_get(
+                runner(variables, run_key, ops, x, labels, labels_onehot, masks)
+            ),
+            logger=logger,
+        )
+        res = run_once()
         results.append(res)
         epochs_total += int(res.epochs_run)
         if idx > 0:  # split 0 pays the jit compile; exclude from epoch rate

@@ -113,3 +113,31 @@ def test_cli_gen_graphs_command(tmp_path, capsys):
         "--num_class", "3",
     ])
     assert "wrote 1 graphs" in capsys.readouterr().out
+
+
+def test_retry_transient():
+    from acmgnn_tpu.utils.resilience import retry_transient
+
+    calls = {"n": 0}
+
+    @retry_transient(max_attempts=3, base_delay=0.01)
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("INTERNAL: remote_compile: HTTP 500")
+        return "ok"
+
+    assert flaky() == "ok"
+    assert calls["n"] == 3
+
+    @retry_transient(max_attempts=3, base_delay=0.01)
+    def fatal():
+        calls["n"] += 1
+        raise ValueError("a real bug")
+
+    calls["n"] = 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        fatal()
+    assert calls["n"] == 1  # no retry on non-transient
