@@ -93,7 +93,11 @@ def _build_half(
             end = min(start + min_bucket_rows, nz_rows)
             k_max = int(sorted_deg[start])
         rows = order[start:end]
-        k_pad = max(k_max, 1)
+        # Wide buckets: width padded to a kc multiple so the slot scan
+        # needs no runtime pad.  Narrow buckets (<= kc) keep their exact
+        # width — rounding them up would multiply descriptor count for
+        # the (large) low-degree row population.
+        k_pad = max(k_max, 1) if k_max <= kc else -(-k_max // kc) * kc
         cols = np.zeros((len(rows), k_pad), np.int32)
         vals = np.zeros((len(rows), k_pad), np.float32)
         # vectorized ELL packing: flatten (row, slot) targets for all nnz
@@ -147,18 +151,18 @@ def _bucket_spmm(bucket: EllBucket, x: jnp.ndarray) -> jnp.ndarray:
     """
     n_rows, k = bucket.cols.shape
     d = x.shape[1]
-    kc = min(bucket.kc, k)
-    nchunks = -(-k // kc)
-    k_pad = nchunks * kc
-    cols = jnp.pad(bucket.cols, ((0, 0), (0, k_pad - k)))
-    vals = jnp.pad(bucket.vals, ((0, 0), (0, k_pad - k))).astype(x.dtype)
+    kc = bucket.kc
+    cols = bucket.cols
+    vals = bucket.vals.astype(x.dtype)
 
     def chunk_sum(c, v):
         prod = jnp.take(x, c, axis=0) * v[..., None]
         return jnp.sum(prod, axis=1, dtype=jnp.float32)
 
-    if nchunks == 1:
+    if k <= kc:
         return chunk_sum(cols, vals)
+    nchunks = k // kc
+    assert nchunks * kc == k, "bucket width must be padded to kc multiple"
     cols_s = cols.reshape(n_rows, nchunks, kc).transpose(1, 0, 2)
     vals_s = vals.reshape(n_rows, nchunks, kc).transpose(1, 0, 2)
 
