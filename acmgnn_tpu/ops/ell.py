@@ -129,10 +129,14 @@ def _build_half(
 def make_ell_op(
     mat: sp.spmatrix,
     *,
-    kc: int = 8,
+    kc: int | None = None,
     min_bucket_rows: int = 1024,
     gather_dtype=jnp.float32,
 ) -> EllOp:
+    if kc is None:
+        import os
+
+        kc = int(os.environ.get("ACMGNN_ELL_KC", "8"))
     csr = sp.csr_matrix(mat)
     return EllOp(
         fwd=_build_half(csr, kc, min_bucket_rows),
