@@ -84,14 +84,18 @@ def bench_epoch_twitch_scale(epochs=30, warmup=5):
     runner = jax.jit(make_split_runner(model, cfg))
     variables = model.init(jax.random.key(0), x, ops)
 
-    # warmup = first call of the SAME program (pays compile, discarded)
-    jax.block_until_ready(
+    # Warmup = first call of the SAME program (pays compile, discarded).
+    # The timed call uses a DIFFERENT rng key and is synced with
+    # device_get: this remote backend deduplicates identical executions
+    # and returns from block_until_ready early, so only forcing distinct
+    # values is trustworthy.
+    jax.device_get(
         runner(variables, jax.random.key(1), ops, x, y, y1h, masks)
     )
 
     t0 = time.perf_counter()
-    res = runner(variables, jax.random.key(1), ops, x, y, y1h, masks)
-    jax.block_until_ready(res)
+    res = runner(variables, jax.random.key(2), ops, x, y, y1h, masks)
+    jax.device_get(res)
     dt = time.perf_counter() - t0
     epoch_ms = 1000.0 * dt / epochs
     edges_per_epoch = 8 * ops.adj_low.nnz  # 2 layers x (2 fwd + 2 bwd) SpMM
@@ -123,12 +127,12 @@ def bench_spmm(repeats=50):
     )
 
     f = jax.jit(lambda x_: spmm(op, x_))
-    jax.block_until_ready(f(x))
+    jax.device_get(jnp.sum(f(x)))
     t0 = time.perf_counter()
     out = x
     for _ in range(repeats):
-        out = f(out)
-    jax.block_until_ready(out)
+        out = f(out)  # chained: every call is unique work
+    jax.device_get(jnp.sum(out))  # force the whole chain
     dt = (time.perf_counter() - t0) / repeats
     return {
         "metric": "spmm_edges_per_s_per_chip",
