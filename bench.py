@@ -68,7 +68,7 @@ def bench_epoch_twitch_scale(epochs=30, warmup=5):
         epochs=epochs,
         early_stopping=0,
         selection="val_metric",
-        operator_format="coo",
+        operator_format="ell",
     )
     data, ops, x, y, y1h, nclass = prepare_data(data, cfg)
     n = data.num_nodes
