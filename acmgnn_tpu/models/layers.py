@@ -41,7 +41,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from acmgnn_tpu.ops.graph import Operators
-from acmgnn_tpu.ops.spmm import spmm, spmm_dual, spmm_high
+from acmgnn_tpu.ops.spmm import spmm, spmm_dual, spmm_high, spmm_multi
 
 
 def _uniform(scale: float):
@@ -65,36 +65,70 @@ class ACMConv(nn.Module):
     use_layernorm: bool = False     # LN on channel outputs feeding attention
     nnodes: Optional[int] = None    # required when structure_info (for S)
 
-    def _attention(self, channels: list[jnp.ndarray]) -> jnp.ndarray:
+    def _make_lns(self, t: int):
+        """LayerNorm submodules for the attention inputs (create once per
+        call even when attention runs for both the train/eval branches)."""
+        names = ["low", "high", "mlp", "struc_low"][:t]
+        # eps matches torch nn.LayerNorm (1e-5)
+        return [
+            nn.LayerNorm(epsilon=1e-5, name=f"layer_norm_{nm}")
+            for nm in names
+        ]
+
+    def _attention_params(self, t: int, f_out: int):
+        names = ["low", "high", "mlp", "struc_low"][:t]
+        att_vecs = [
+            self.param(f"att_vec_{nm}", _uniform(1.0), (f_out, 1))
+            for nm in names
+        ]
+        att_mix = self.param("att_vec", _uniform(1.0 / math.sqrt(t)), (t, t))
+        return att_vecs, att_mix
+
+    def _attention(
+        self, channels: list[jnp.ndarray], ln_mods=None, att_params=None
+    ) -> jnp.ndarray:
         """Per-node softmax mixing weights, [N, T]."""
         t = len(channels)
-        names = ["low", "high", "mlp", "struc_low"][:t]
+        if att_params is None:
+            att_params = self._attention_params(t, channels[0].shape[-1])
+        att_vecs, att_mix = att_params
         if self.use_layernorm:
-            lns = [
-                # eps matches torch nn.LayerNorm (1e-5)
-                nn.LayerNorm(epsilon=1e-5, name=f"layer_norm_{names[i]}")(
-                    channels[i]
-                )
-                for i in range(t)
-            ]
+            if ln_mods is None:
+                ln_mods = self._make_lns(t)
+            lns = [ln_mods[i](channels[i]) for i in range(t)]
         else:
             lns = channels
-        att_vecs = [
-            self.param(f"att_vec_{names[i]}", _uniform(1.0), (lns[i].shape[-1], 1))
-            for i in range(t)
-        ]
         scores = jnp.concatenate(
             [lns[i] @ att_vecs[i] for i in range(t)], axis=1
         )  # [N, T]
-        att_mix = self.param("att_vec", _uniform(1.0 / math.sqrt(t)), (t, t))
         logits = (jax.nn.sigmoid(scores) @ att_mix) / t
         return jax.nn.softmax(logits, axis=1)
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, ops: Operators) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        ops: Operators,
+        x_eval: Optional[jnp.ndarray] = None,
+    ):
+        """Forward one ACM layer.
+
+        ``x_eval``: optional second (eval-branch) input that rides the
+        same fused gather as ``x`` — used by the joint training loop
+        where the post-update eval forward and the next train forward
+        share parameters.  Returns ``(out_train, out_eval)`` when given.
+        Only the acmgcn/acmgcnp/acmgcnpp/acmsnowball paths support it.
+        """
         f_in = x.shape[-1]
         f_out = self.out_features
         w_init = _uniform(1.0 / float(f_out) ** 0.5)
+
+        if x_eval is not None and self.model_type not in (
+            "acmgcn", "acmgcnp", "acmgcnpp", "acmsnowball"
+        ):
+            raise ValueError(
+                f"paired forward unsupported for {self.model_type!r}"
+            )
 
         if self.model_type == "mlp":
             w_mlp = self.param("weight_mlp", w_init, (f_in, f_out))
@@ -140,40 +174,70 @@ class ACMConv(nn.Module):
                 att[:, 0:1] * h_low + att[:, 1:2] * h_high + att[:, 2:3] * h_mlp
             )
 
-        # acmgcn / acmgcnp / acmgcnpp / acmsnowball
-        # Both channel aggregations share one fused gather (spmm_dual).
-        if self.variant:  # ACMII: propagate post-activation features
-            h_low, h_high = spmm_dual(
-                ops.adj_low, jax.nn.relu(x @ w_low), jax.nn.relu(x @ w_high)
-            )
-        else:
-            h_low, h_high = spmm_dual(ops.adj_low, x @ w_low, x @ w_high)
-            h_low = jax.nn.relu(h_low)
-            h_high = jax.nn.relu(h_high)
-        h_mlp = jax.nn.relu(x @ w_mlp)
+        # acmgcn / acmgcnp / acmgcnpp / acmsnowball.
+        # All channel aggregations of the call (2 per branch; 4 when a
+        # paired eval branch rides along) share ONE fused gather
+        # (spmm_multi) — the SpMM is descriptor-bound on TPU (PERF.md).
+        paired = x_eval is not None
+        branches = [x, x_eval] if paired else [x]
+        pre = []  # (z_low, z_high) per branch
+        for xb in branches:
+            if self.variant:  # ACMII: propagate post-activation features
+                pre.append((jax.nn.relu(xb @ w_low), jax.nn.relu(xb @ w_high)))
+            else:
+                pre.append((xb @ w_low, xb @ w_high))
+        zs = [z for pair in pre for z in pair]
+        flags = [False, True] * len(branches)
+        aggs = spmm_multi(ops.adj_low, zs, flags)
 
         use_structure = (
             self.structure_info
             and self.model_type in ("acmgcnp", "acmgcnpp")
             and ops.adj_unnorm is not None
         )
+        if use_structure and self.nnodes is None:
+            raise ValueError("structure_info requires nnodes")
+        t_channels = 4 if use_structure else 3
+        ln_mods = self._make_lns(t_channels) if self.use_layernorm else None
+        att_params = self._attention_params(t_channels, f_out)
+        h_struc = None
         if use_structure:
-            if self.nnodes is None:
-                raise ValueError("structure_info requires nnodes")
+            # the structure channel depends only on parameters — shared
+            # verbatim across the train/eval branches
             s = self.param("struc_low", w_init, (self.nnodes, f_out))
             h_struc = jax.nn.relu(spmm(ops.adj_unnorm, s))
-            att = self._attention([h_low, h_high, h_mlp, h_struc])
-            return 1.0 * (
-                att[:, 0:1] * h_low
-                + att[:, 1:2] * h_high
-                + att[:, 2:3] * h_mlp
-                + att[:, 3:4] * h_struc
-            )
 
-        att = self._attention([h_low, h_high, h_mlp])
-        return 3.0 * (
-            att[:, 0:1] * h_low + att[:, 1:2] * h_high + att[:, 2:3] * h_mlp
-        )
+        outs = []
+        for b, xb in enumerate(branches):
+            h_low, h_high = aggs[2 * b], aggs[2 * b + 1]
+            if not self.variant:
+                h_low = jax.nn.relu(h_low)
+                h_high = jax.nn.relu(h_high)
+            h_mlp = jax.nn.relu(xb @ w_mlp)
+            if use_structure:
+                att = self._attention(
+                    [h_low, h_high, h_mlp, h_struc], ln_mods, att_params
+                )
+                outs.append(
+                    1.0
+                    * (
+                        att[:, 0:1] * h_low
+                        + att[:, 1:2] * h_high
+                        + att[:, 2:3] * h_mlp
+                        + att[:, 3:4] * h_struc
+                    )
+                )
+            else:
+                att = self._attention([h_low, h_high, h_mlp], ln_mods, att_params)
+                outs.append(
+                    3.0
+                    * (
+                        att[:, 0:1] * h_low
+                        + att[:, 1:2] * h_high
+                        + att[:, 2:3] * h_mlp
+                    )
+                )
+        return tuple(outs) if paired else outs[0]
 
 
 class SAGEConv(nn.Module):

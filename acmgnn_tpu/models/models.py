@@ -83,25 +83,48 @@ class ACMGNN(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, ops: Operators, *, training: bool = False
-    ) -> jnp.ndarray:
+        self,
+        x: jnp.ndarray,
+        ops: Operators,
+        *,
+        training: bool = False,
+        paired_eval: bool = False,
+    ):
+        """Model forward.
+
+        ``paired_eval=True`` additionally produces the deterministic
+        (no-dropout) eval logits in the SAME pass, sharing every sparse
+        gather with the train branch (see the joint training loop in
+        acmgnn_tpu/train/trainer.py).  Returns ``(train_logits,
+        eval_logits)``; supported for the 2-layer ACM stacks.
+        """
         if self.model_type not in MODEL_TYPES:
             raise ValueError(f"unknown model_type: {self.model_type!r}")
+        if paired_eval and self.model_type not in (
+            "acmgcn", "acmgcnp", "acmgcnpp"
+        ):
+            raise ValueError(
+                f"paired_eval unsupported for {self.model_type!r}"
+            )
 
         drop = lambda h: nn.Dropout(rate=self.dropout, deterministic=not training)(h)
 
+        x_eval = x if paired_eval else None
         if self.model_type in _ACM_FAMILY:
             x = drop(x)
 
         if self.model_type == "acmgcnpp":
-            mlp_x = MLPBlock(
+            mlp_mod = MLPBlock(
                 hidden_channels=self.nhid,
                 out_channels=self.nhid,
                 num_layers=self.init_layers_X,
                 dropout=0.0,
                 name="mlpX",
-            )(x, training=training)
+            )
+            mlp_x = mlp_mod(x, training=training)
             xx = drop(jax.nn.relu(mlp_x))
+            if paired_eval:
+                xx_eval = jax.nn.relu(mlp_mod(x_eval, training=False))
 
         if self.model_type in ("acmsnowball", "snowball"):
             # densely-concatenated snowball stacking
@@ -139,8 +162,18 @@ class ACMGNN(nn.Module):
 
         # 2-layer stacks: acmgcn / acmgcnp / acmgcnpp / acmgraphsage /
         # gcn / mlp
-        fea1 = self._conv(self.nhid, "gcn_0")(x, ops)
+        conv0 = self._conv(self.nhid, "gcn_0")
+        conv1 = self._conv(self.nclass, "gcn_1")
+        if paired_eval:
+            fea1, fea1_eval = conv0(x, ops, x_eval=x_eval)
+            fea1 = drop(jax.nn.relu(fea1))
+            fea1_eval = jax.nn.relu(fea1_eval)
+            if self.model_type == "acmgcnpp":
+                fea1 = fea1 + xx
+                fea1_eval = fea1_eval + xx_eval
+            return conv1(fea1, ops, x_eval=fea1_eval)
+        fea1 = conv0(x, ops)
         fea1 = drop(jax.nn.relu(fea1))
         if self.model_type == "acmgcnpp":
             fea1 = fea1 + xx
-        return self._conv(self.nclass, "gcn_1")(fea1, ops)
+        return conv1(fea1, ops)

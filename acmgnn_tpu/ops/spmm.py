@@ -95,6 +95,34 @@ def spmm_high(op_low: SparseOp, x: jnp.ndarray) -> jnp.ndarray:
     return x - spmm(op_low, x)
 
 
+def spmm_multi(op_low: SparseOp, zs, high_pass_flags):
+    """Batched ACM aggregation: one gather serves ANY number of channel
+    matrices that share the operator (they always do within a layer, and
+    across the train/eval branch pair in the joint training loop).
+
+    ``zs``: list of [N, d_i] matrices; ``high_pass_flags[i]`` selects
+    ``z_i - A z_i`` (the I-A_hat identity trick) instead of ``A z_i``.
+    Gather-based formats concat along features — the SpMM is
+    descriptor-bound on TPU (PERF.md), so k fused channels cost ~1/k of
+    separate calls.  Dense operators just loop (MXU handles it).
+    """
+    if isinstance(op_low, DenseOp):
+        outs = []
+        for z, hp in zip(zs, high_pass_flags):
+            az = spmm(op_low, z)
+            outs.append(z - az if hp else az)
+        return outs
+    dims = [z.shape[1] for z in zs]
+    both = spmm(op_low, jnp.concatenate(zs, axis=1))
+    outs = []
+    offset = 0
+    for z, d, hp in zip(zs, dims, high_pass_flags):
+        az = both[:, offset : offset + d]
+        outs.append(z - az if hp else az)
+        offset += d
+    return outs
+
+
 def spmm_dual(op_low: SparseOp, z_low: jnp.ndarray, z_high: jnp.ndarray):
     """Fused ACM channel aggregation: ``(A z_low, z_high - A z_high)``.
 

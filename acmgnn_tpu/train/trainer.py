@@ -104,9 +104,21 @@ def _split_variables(variables):
     return params, rest
 
 
-def make_split_runner(model: ACMGNN, cfg: TrainConfig, tx=None):
+JOINT_CAPABLE = ("acmgcn", "acmgcnp", "acmgcnpp")
+
+
+def make_split_runner(model: ACMGNN, cfg: TrainConfig, tx=None, joint=None):
     """Builds ``run(variables, key, ops, x, labels, labels_onehot, masks)``
     — the fully fused single-split trainer.  Jit once, reuse across splits.
+
+    ``joint`` (default: auto for the 2-layer ACM stacks): run the
+    train-mode forward of epoch k and the eval forward of epoch k-1 —
+    which share parameters — in ONE paired pass whose channel
+    aggregations ride a single fused gather (PERF.md: the SpMM is
+    descriptor-bound, so this removes a third of the per-epoch sparse
+    work).  Selection/early-stopping semantics are identical to the
+    sequential loop; the loop runs one extra (speculative, discarded)
+    train step.
     """
     tx = make_optimizer(cfg) if tx is None else tx
     use_bce = cfg.loss == "bce"
@@ -114,6 +126,8 @@ def make_split_runner(model: ACMGNN, cfg: TrainConfig, tx=None):
     es = int(cfg.early_stopping)
     epochs = int(cfg.epochs)
     sel_metric = cfg.selection == "val_metric"
+    if joint is None:
+        joint = cfg.model_type in JOINT_CAPABLE
 
     def train_loss_fn(params, rest, rng, ops, x, labels, labels_onehot, train_mask):
         variables = {"params": params, **rest}
@@ -133,8 +147,7 @@ def make_split_runner(model: ACMGNN, cfg: TrainConfig, tx=None):
             loss = masked_nll(log_probs, labels, train_mask)
         return loss, updates
 
-    def eval_metrics(variables, ops, x, labels, labels_onehot, masks):
-        logits = model.apply(variables, x, ops, training=False)
+    def metrics_from_logits(logits, labels, labels_onehot, masks):
         if use_rocauc:
             metric = lambda m: masked_rocauc(logits, labels, m)
         else:
@@ -146,6 +159,10 @@ def make_split_runner(model: ACMGNN, cfg: TrainConfig, tx=None):
             loss_of = lambda m: masked_nll(log_probs, labels, m)
         train_mask, val_mask, test_mask = masks
         return loss_of(val_mask), metric(val_mask), metric(test_mask)
+
+    def eval_metrics(variables, ops, x, labels, labels_onehot, masks):
+        logits = model.apply(variables, x, ops, training=False)
+        return metrics_from_logits(logits, labels, labels_onehot, masks)
 
     def run(variables, key, ops, x, labels, labels_onehot, masks):
         params0, rest0 = _split_variables(variables)
@@ -219,7 +236,116 @@ def make_split_runner(model: ACMGNN, cfg: TrainConfig, tx=None):
             epochs_run=final.epoch,
         )
 
-    return run
+    def joint_loss_fn(params, rest, rng, ops, x, labels, labels_onehot,
+                      train_mask):
+        variables = {"params": params, **rest}
+        out = model.apply(
+            variables,
+            x,
+            ops,
+            training=True,
+            paired_eval=True,
+            rngs={"dropout": rng},
+            mutable=list(rest.keys()),
+        )
+        (logits_train, logits_eval), updates = out
+        if use_bce:
+            loss = masked_bce_with_logits(logits_train, labels_onehot,
+                                          train_mask)
+        else:
+            log_probs = jax.nn.log_softmax(logits_train, axis=1)
+            loss = masked_nll(log_probs, labels, train_mask)
+        return loss, (updates, logits_eval)
+
+    def run_joint(variables, key, ops, x, labels, labels_onehot, masks):
+        """Joint loop: body k evaluates epoch k-1 (params after k updates)
+        and trains epoch k in one paired forward."""
+        params0, rest0 = _split_variables(variables)
+        opt_state0 = tx.init(params0)
+        train_mask = masks[0]
+
+        def body(state: SplitState) -> SplitState:
+            k = state.epoch
+            rng = jax.random.fold_in(key, k)
+            params, rest = _split_variables(state.variables)
+            (loss_train, (bn_updates, logits_eval)), grads = (
+                jax.value_and_grad(joint_loss_fn, has_aux=True)(
+                    params, rest, rng, ops, x, labels, labels_onehot,
+                    train_mask,
+                )
+            )
+            val_loss, val_metric, test_metric = metrics_from_logits(
+                logits_eval, labels, labels_onehot, masks
+            )
+
+            # selection for reference-epoch e = k - 1 (skip untrained k=0)
+            e = k - 1
+            valid_epoch = k > 0
+            if sel_metric:
+                improved = valid_epoch & (val_metric > state.best_val_metric)
+            else:
+                improved = valid_epoch & (val_loss < state.best_val_loss)
+            best_val_loss = jnp.where(improved, val_loss, state.best_val_loss)
+            best_val_metric = jnp.where(
+                improved, val_metric, state.best_val_metric
+            )
+            best_test_metric = jnp.where(
+                improved, test_metric, state.best_test_metric
+            )
+
+            e_clamped = jnp.maximum(e, 0)
+            val_hist = jnp.where(
+                valid_epoch,
+                state.val_hist.at[e_clamped].set(val_loss),
+                state.val_hist,
+            )
+            if es > 0:
+                window = jax.lax.dynamic_slice(
+                    val_hist, (e_clamped - es,), (es,)
+                )
+                stop = valid_epoch & (e > es) & (val_loss > jnp.mean(window))
+            else:
+                stop = jnp.asarray(False)
+
+            updates, opt_state = tx.update(grads, state.opt_state, params)
+            params = optax.apply_updates(params, updates)
+            variables = {"params": params, **{**rest, **bn_updates}}
+
+            return SplitState(
+                variables=variables,
+                opt_state=opt_state,
+                epoch=k + 1,
+                best_val_loss=best_val_loss,
+                best_val_metric=best_val_metric,
+                best_test_metric=best_test_metric,
+                last_train_loss=loss_train,
+                val_hist=val_hist,
+                stop=stop,
+            )
+
+        init = SplitState(
+            variables=variables,
+            opt_state=opt_state0,
+            epoch=jnp.asarray(0, jnp.int32),
+            best_val_loss=jnp.asarray(jnp.inf, jnp.float32),
+            best_val_metric=jnp.asarray(-jnp.inf, jnp.float32),
+            best_test_metric=jnp.asarray(0.0, jnp.float32),
+            last_train_loss=jnp.asarray(0.0, jnp.float32),
+            val_hist=jnp.zeros((epochs + 1,), jnp.float32),
+            stop=jnp.asarray(False),
+        )
+        final = jax.lax.while_loop(
+            lambda s: (s.epoch < epochs + 1) & (~s.stop), body, init
+        )
+        return SplitResult(
+            test_metric=final.best_test_metric,
+            val_metric=final.best_val_metric,
+            val_loss=final.best_val_loss,
+            train_loss=final.last_train_loss,
+            epochs_run=jnp.maximum(final.epoch - 1, 0),
+        )
+
+    return run_joint if joint else run
 
 
 def train_single_split(

@@ -203,3 +203,41 @@ def test_e2e_bce_rocauc_protocol(small_graph):
     out = run_experiment(data, cfg)
     assert 0.0 <= out["test_mean"] <= 1.0
     assert out["test_mean"] > 0.6, out  # clearly better than chance
+
+
+def test_joint_runner_matches_sequential():
+    """The joint (paired train+eval) loop must reproduce the sequential
+    loop exactly: same selection, same early stop, same metrics."""
+    from acmgnn_tpu.train.trainer import (
+        build_model,
+        make_split_runner,
+        prepare_data,
+        resolve_split,
+    )
+
+    cfg = TrainConfig(
+        model_type="acmgcn",
+        hidden=16,
+        epochs=100,
+        early_stopping=40,
+        num_splits=1,
+        fixed_splits=True,
+        dropout=0.4,
+    )
+    data, ops, x, y, y1h, nclass = prepare_data("texas", cfg)
+    model = build_model(cfg, nclass, data.num_nodes)
+    rng = np.random.default_rng(0)
+    masks = tuple(
+        jnp.asarray(m)
+        for m in resolve_split(data, cfg, 0, rng, np.asarray(y), nclass)
+    )
+    key = jax.random.key(3)
+    init_key, run_key = jax.random.split(key)
+    variables = model.init(init_key, x, ops)
+    seq = jax.jit(make_split_runner(model, cfg, joint=False))
+    jnt = jax.jit(make_split_runner(model, cfg, joint=True))
+    r1 = jax.device_get(seq(variables, run_key, ops, x, y, y1h, masks))
+    r2 = jax.device_get(jnt(variables, run_key, ops, x, y, y1h, masks))
+    assert float(r1.test_metric) == pytest.approx(float(r2.test_metric), abs=1e-5)
+    assert float(r1.val_loss) == pytest.approx(float(r2.val_loss), abs=1e-5)
+    assert abs(int(r1.epochs_run) - int(r2.epochs_run)) <= 1
