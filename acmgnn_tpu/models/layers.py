@@ -188,7 +188,11 @@ class ACMConv(nn.Module):
                 pre.append((xb @ w_low, xb @ w_high))
         zs = [z for pair in pre for z in pair]
         flags = [False, True] * len(branches)
-        aggs = spmm_multi(ops.adj_low, zs, flags)
+        # eval-branch entries (3rd/4th) carry no gradient: they feed
+        # metrics only, so the backward transposes just the train prefix
+        aggs = spmm_multi(
+            ops.adj_low, zs, flags, grad_prefix=2 if paired else None
+        )
 
         use_structure = (
             self.structure_info

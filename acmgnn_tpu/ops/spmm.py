@@ -95,7 +95,50 @@ def spmm_high(op_low: SparseOp, x: jnp.ndarray) -> jnp.ndarray:
     return x - spmm(op_low, x)
 
 
-def spmm_multi(op_low: SparseOp, zs, high_pass_flags):
+def spmm_transpose(op: SparseOp, g: jnp.ndarray) -> jnp.ndarray:
+    """``op^T @ g`` via the precomputed transpose structures."""
+    from acmgnn_tpu.ops.ell import EllOp, _half_spmm
+
+    if isinstance(op, DenseOp):
+        return jnp.dot(op.mat.T, g, preferred_element_type=g.dtype)
+    if isinstance(op, CooOp):
+        return _coo_matvec_rows(op.row_t, op.col_t, op.val_t, g, op.num_nodes)
+    if isinstance(op, EllOp):
+        return _half_spmm(op.bwd, g.astype(op.gather_dtype))
+    from acmgnn_tpu.parallel.sharded import ShardedCooOp, _spmm_shardmap
+
+    if isinstance(op, ShardedCooOp):
+        return _spmm_shardmap(
+            op.row_l_t, op.col_t, op.val_t, g, op.mesh, op.rows_per_part
+        )
+    raise TypeError(f"unsupported operator type: {type(op)!r}")
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _prefix_grad_spmm(op, z_cat, grad_width):
+    """``op @ z_cat`` where only the first ``grad_width`` feature columns
+    are differentiable — the paired train/eval forward's fused gather.
+    The eval columns' cotangents are structurally zero (they only feed
+    metrics), so the backward transposes just the train prefix instead of
+    dragging zero columns through the gather."""
+    return spmm(op, z_cat)
+
+
+def _prefix_grad_fwd(op, z_cat, grad_width):
+    return spmm(op, z_cat), (op, z_cat.shape[1])
+
+
+def _prefix_grad_bwd(grad_width, res, g):
+    op, total = res
+    dz_prefix = spmm_transpose(op, g[:, :grad_width])
+    dz = jnp.pad(dz_prefix, ((0, 0), (0, total - grad_width)))
+    return jax.tree_util.tree_map(jnp.zeros_like, op), dz
+
+
+_prefix_grad_spmm.defvjp(_prefix_grad_fwd, _prefix_grad_bwd)
+
+
+def spmm_multi(op_low: SparseOp, zs, high_pass_flags, grad_prefix=None):
     """Batched ACM aggregation: one gather serves ANY number of channel
     matrices that share the operator (they always do within a layer, and
     across the train/eval branch pair in the joint training loop).
@@ -105,6 +148,10 @@ def spmm_multi(op_low: SparseOp, zs, high_pass_flags):
     Gather-based formats concat along features — the SpMM is
     descriptor-bound on TPU (PERF.md), so k fused channels cost ~1/k of
     separate calls.  Dense operators just loop (MXU handles it).
+
+    ``grad_prefix``: if set, only the first ``grad_prefix`` entries of
+    ``zs`` are differentiable (the paired eval branch's entries carry no
+    gradient) — the backward transposes just that prefix.
     """
     if isinstance(op_low, DenseOp):
         outs = []
@@ -113,7 +160,12 @@ def spmm_multi(op_low: SparseOp, zs, high_pass_flags):
             outs.append(z - az if hp else az)
         return outs
     dims = [z.shape[1] for z in zs]
-    both = spmm(op_low, jnp.concatenate(zs, axis=1))
+    z_cat = jnp.concatenate(zs, axis=1)
+    if grad_prefix is not None and grad_prefix < len(zs):
+        grad_width = sum(dims[:grad_prefix])
+        both = _prefix_grad_spmm(op_low, z_cat, grad_width)
+    else:
+        both = spmm(op_low, z_cat)
     outs = []
     offset = 0
     for z, d, hp in zip(zs, dims, high_pass_flags):
