@@ -111,14 +111,14 @@ def make_split_runner(model: ACMGNN, cfg: TrainConfig, tx=None, joint=None):
     """Builds ``run(variables, key, ops, x, labels, labels_onehot, masks)``
     — the fully fused single-split trainer.  Jit once, reuse across splits.
 
-    ``joint`` (default: auto for the 2-layer ACM stacks): run the
-    train-mode forward of epoch k and the eval forward of epoch k-1 —
-    which share parameters — in ONE paired pass whose channel
-    aggregations ride a single fused gather (PERF.md: the SpMM is
-    descriptor-bound, so this removes a third of the per-epoch sparse
-    work).  Selection/early-stopping semantics are identical to the
-    sequential loop; the loop runs one extra (speculative, discarded)
-    train step.
+    ``joint`` (opt-in, 2-layer ACM stacks only): run the train-mode
+    forward of epoch k and the eval forward of epoch k-1 — which share
+    parameters — in ONE paired pass whose channel aggregations ride a
+    single fused gather.  Semantically identical to the sequential loop
+    (verified exactly); measured on TPU v5e at twitch-gamers scale it is
+    a wash (322 vs 310 ms/epoch — the 4-wide gather's bandwidth offsets
+    the descriptor halving; PERF.md), so the sequential loop stays the
+    default.
     """
     tx = make_optimizer(cfg) if tx is None else tx
     use_bce = cfg.loss == "bce"
@@ -127,7 +127,7 @@ def make_split_runner(model: ACMGNN, cfg: TrainConfig, tx=None, joint=None):
     epochs = int(cfg.epochs)
     sel_metric = cfg.selection == "val_metric"
     if joint is None:
-        joint = cfg.model_type in JOINT_CAPABLE
+        joint = False
 
     def train_loss_fn(params, rest, rng, ops, x, labels, labels_onehot, train_mask):
         variables = {"params": params, **rest}
