@@ -55,6 +55,9 @@ class GraphData:
     features: np.ndarray             # [N, F] float32
     labels: np.ndarray               # [N] int labels, or [N, C] multilabel
     splits: Optional[list] = None    # list of dicts {train/valid/test: idx}
+    # node permutation applied to adj/features/labels (locality reorder);
+    # split masks loaded from files must be permuted with it
+    perm: Optional[np.ndarray] = None
 
     @property
     def num_nodes(self) -> int:
@@ -258,6 +261,32 @@ class Operators(struct.PyTreeNode):
 # Above this node count the dense [N, N] operator is no longer the right
 # representation (memory O(N^2)); switch to sorted-COO.
 DEFAULT_DENSE_THRESHOLD = 8192
+
+
+def locality_order(adj: sp.spmatrix, method: str = "rcm") -> np.ndarray:
+    """Node permutation improving gather locality: neighbors get nearby
+    ids, so SpMM row fetches hit nearby HBM pages.
+
+    Returns ``perm`` with ``new_id = position of old_id in perm`` — apply
+    as ``adj[perm][:, perm]``, ``x[perm]``.  Metrics/training are
+    permutation-invariant, so reordering is free at the protocol level.
+    """
+    if method == "rcm":
+        from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+        return np.asarray(
+            reverse_cuthill_mckee(sp.csr_matrix(adj), symmetric_mode=True)
+        ).astype(np.int64)
+    if method == "degree":
+        deg = np.asarray(sp.csr_matrix(adj).sum(axis=1)).flatten()
+        return np.argsort(-deg, kind="stable").astype(np.int64)
+    raise ValueError(f"unknown reorder method: {method!r}")
+
+
+def permute_graph(adj: sp.spmatrix, perm: np.ndarray) -> sp.csr_matrix:
+    """``P A P^T`` for the node permutation ``perm``."""
+    csr = sp.csr_matrix(adj)
+    return csr[perm][:, perm].tocsr()
 
 
 def precompute_operators(

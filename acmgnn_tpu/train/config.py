@@ -48,6 +48,7 @@ class TrainConfig:
     normalization: str = "row"        # low-pass normalization
     operator_format: str = "auto"     # "auto" | "dense" | "coo" | "ell"
     spmm_dtype: str = "float32"       # "bfloat16": halve ELL gather traffic
+    reorder: str = "none"             # "rcm"|"degree": gather-locality perm
     feature_normalize: Optional[bool] = None  # None => reference rule
 
     def resolve_layernorm(self) -> bool:

@@ -378,10 +378,19 @@ def resolve_split(data: GraphData, cfg: TrainConfig, idx: int, rng, labels,
     n = data.num_nodes
     if data.splits is not None and cfg.fixed_splits:
         s = data.splits[idx % len(data.splits)]
-        return indices_to_masks(n, s["train"], s["valid"], s["test"])
-    if cfg.fixed_splits:
-        return load_fixed_split_masks(data.name, idx)
-    return random_disassortative_splits(np.asarray(labels), nclass, rng=rng)
+        masks = indices_to_masks(n, s["train"], s["valid"], s["test"])
+    elif cfg.fixed_splits:
+        masks = load_fixed_split_masks(data.name, idx)
+    else:
+        # random splits are generated directly in the (possibly permuted)
+        # label space — no remap needed
+        return random_disassortative_splits(
+            np.asarray(labels), nclass, rng=rng
+        )
+    if data.perm is not None:
+        # file-based masks are in original node-id space
+        masks = tuple(m[data.perm] for m in masks)
+    return masks
 
 
 def make_epoch_fns(model: ACMGNN, cfg: TrainConfig, tx=None):
@@ -544,6 +553,18 @@ def prepare_data(dataset: GraphData | str, cfg: TrainConfig):
         data = load_dataset(dataset, cfg.sub_dataset, directed=cfg.directed)
     else:
         data = dataset
+    if cfg.reorder != "none" and data.perm is None:
+        from acmgnn_tpu.ops.graph import locality_order, permute_graph
+        import dataclasses as _dc
+
+        perm = locality_order(data.adj, cfg.reorder)
+        data = _dc.replace(
+            data,
+            adj=permute_graph(data.adj, perm),
+            features=np.asarray(data.features)[perm],
+            labels=np.asarray(data.labels)[perm],
+            perm=perm,
+        )
     features = data.features
     if cfg.resolve_feature_normalize():
         features = row_normalize_features(features)

@@ -59,6 +59,8 @@ def bench_epoch_twitch_scale(epochs=30, warmup=5):
     data = GraphData(name="twitch-gamers-scale", adj=adj, features=features,
                      labels=labels)
 
+    import os
+
     cfg = TrainConfig(
         model_type="acmgcnp",
         hidden=64,
@@ -69,6 +71,7 @@ def bench_epoch_twitch_scale(epochs=30, warmup=5):
         early_stopping=0,
         selection="val_metric",
         operator_format="ell",
+        reorder=os.environ.get("ACMGNN_BENCH_REORDER", "none"),
     )
     data, ops, x, y, y1h, nclass = prepare_data(data, cfg)
     n = data.num_nodes
