@@ -19,7 +19,6 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
-import sys
 
 from acmgnn_tpu.train.config import TrainConfig
 
@@ -51,8 +50,10 @@ def _add_train_args(p: argparse.ArgumentParser):
     p.add_argument("--directed", action="store_true")
     p.add_argument("--selection", choices=["val_loss", "val_metric"],
                    default=None)
-    p.add_argument("--operator_format", choices=["auto", "dense", "coo"],
-                   default="auto")
+    p.add_argument("--operator_format",
+                   choices=["auto", "dense", "coo", "ell"], default="auto")
+    p.add_argument("--reorder", choices=["none", "rcm", "degree"],
+                   default="none")
     p.add_argument("--normalization", choices=["row", "sym"], default="row")
     p.add_argument("--log_dir", default="./logs")
     p.add_argument("--results_csv", default="")
@@ -95,6 +96,7 @@ def config_from_args(args) -> TrainConfig:
         seed=args.seed,
         normalization=args.normalization,
         operator_format=args.operator_format,
+        reorder=args.reorder,
     )
 
 

@@ -23,8 +23,6 @@ Expected file layout under ``<root>/large_scale_data/`` for any root in
 from __future__ import annotations
 
 import json
-from pathlib import Path
-
 import numpy as np
 import scipy.io
 import scipy.sparse as sp

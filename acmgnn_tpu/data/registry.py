@@ -9,7 +9,6 @@ stacks (/root/reference/ACM-Pytorch/utils.py:294-386,
 from __future__ import annotations
 
 import numpy as np
-import scipy.sparse as sp
 
 from acmgnn_tpu.data.geomgcn import GEOMGCN_DATASETS, load_geomgcn
 from acmgnn_tpu.data.planetoid import load_planetoid

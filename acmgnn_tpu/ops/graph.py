@@ -30,7 +30,6 @@ from typing import Any, Optional
 import numpy as np
 import scipy.sparse as sp
 
-import jax
 import jax.numpy as jnp
 from flax import struct
 

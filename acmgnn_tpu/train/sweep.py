@@ -16,9 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 import itertools
-from typing import Iterable, Optional
-
-import numpy as np
+from typing import Optional
 
 from acmgnn_tpu.train.config import TrainConfig
 from acmgnn_tpu.train.trainer import run_experiment

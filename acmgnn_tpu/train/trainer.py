@@ -20,7 +20,6 @@ Protocol parity (/root/reference/ACM-Pytorch/train.py:90-139,
 from __future__ import annotations
 
 import time
-from functools import partial
 from typing import Any, Optional
 
 import numpy as np

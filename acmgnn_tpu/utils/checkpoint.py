@@ -9,8 +9,6 @@ from __future__ import annotations
 from pathlib import Path
 from typing import Any, Optional
 
-import jax
-
 
 def _checkpointer():
     import orbax.checkpoint as ocp

@@ -88,7 +88,13 @@ def main():
         )
         t0 = time.time()
         out = run_experiment(ds, cfg)
-        paper_mean, paper_std = PAPER_ACMGCNP.get(ds, (None, None))
+        # paper comparison only for variant 0 (ACM-GCN+); the ACMII-GCN+
+        # Table-3 row is not in the BASELINE.md extraction
+        paper_mean, paper_std = (
+            PAPER_ACMGCNP.get(ds, (None, None))
+            if args.variant == 0
+            else (None, None)
+        )
         row = {
             "dataset": ds,
             "ours_mean": round(100 * out["test_mean"], 2),
