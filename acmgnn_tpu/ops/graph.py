@@ -257,9 +257,14 @@ class Operators(struct.PyTreeNode):
         return self.adj_low.num_nodes
 
 
-# Above this node count the dense [N, N] operator is no longer the right
-# representation (memory O(N^2)); switch to sorted-COO.
-DEFAULT_DENSE_THRESHOLD = 8192
+# Above this node count the auto format switches from the dense [N, N]
+# operator to bucketed ELL.  Kept conservative (4096): ELL is perf-
+# competitive at mid sizes, dense memory is O(N^2), and this
+# environment's experimental TPU backend miscompiles the BACKWARD of
+# some dense-operator model configs at ~5k nodes (variant-1 squirrel:
+# grad NaN with the dense path, clean with ELL; forward fine, CPU fine —
+# see PARITY.md).
+DEFAULT_DENSE_THRESHOLD = 4096
 
 
 def locality_order(adj: sp.spmatrix, method: str = "rcm") -> np.ndarray:
