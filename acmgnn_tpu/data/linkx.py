@@ -211,7 +211,9 @@ def load_twitch_gamer(task: str = "mature", normalize: bool = True) -> GraphData
     features = nodes.drop(task, axis=1).to_numpy().astype(np.float32)
     if normalize:  # z-score (/root/reference/ACM-Geometric/dataset.py:380-382)
         features = features - features.mean(axis=0, keepdims=True)
-        features = features / features.std(axis=0, keepdims=True)
+        std = features.std(axis=0, keepdims=True)
+        std[std == 0] = 1.0  # constant columns stay zero, not inf
+        features = features / std
     adj = _edges_to_adj(edge_index, num_nodes)
     return GraphData(name="twitch-gamer", adj=adj, features=features, labels=labels)
 

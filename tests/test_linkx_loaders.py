@@ -1,0 +1,195 @@
+"""LINKX loader tests against synthetic fixture files.
+
+The real LINKX raw files aren't bundled (zero-egress environment), so
+each loader is exercised against small synthetic files in the exact
+expected on-disk layout, via the ACMGNN_DATA_PATH search-root override.
+"""
+
+import json
+
+import numpy as np
+import pytest
+import scipy.io
+import scipy.sparse as sp
+
+from acmgnn_tpu.data import linkx
+
+
+@pytest.fixture()
+def data_root(tmp_path, monkeypatch):
+    root = tmp_path / "root"
+    (root / "large_scale_data").mkdir(parents=True)
+    monkeypatch.setenv("ACMGNN_DATA_PATH", str(root))
+    return root / "large_scale_data"
+
+
+def _random_edges(n, e, rng):
+    return np.vstack([rng.integers(0, n, e), rng.integers(0, n, e)])
+
+
+def test_even_quantile_labels():
+    vals = np.arange(100, dtype=np.float64)
+    lab = linkx.even_quantile_labels(vals, 5)
+    counts = np.bincount(lab)
+    assert len(counts) == 5
+    assert counts.min() >= 19 and counts.max() <= 21
+
+
+def test_load_fb100(data_root):
+    rng = np.random.default_rng(0)
+    n = 60
+    a = sp.random(n, n, density=0.1, random_state=0)
+    a = ((a + a.T) > 0).astype(np.float64)
+    # columns: status, gender, major, minor, dorm, year, high school
+    meta = rng.integers(0, 4, size=(n, 7))
+    meta[:, 1] = rng.integers(0, 3, n)  # gender 0(missing)/1/2
+    (data_root / "facebook100").mkdir()
+    scipy.io.savemat(
+        data_root / "facebook100" / "Penn94.mat",
+        {"A": a, "local_info": meta},
+    )
+    d = linkx.load_fb100("Penn94")
+    assert d.num_nodes == n
+    assert set(np.unique(d.labels)) <= {-1, 0, 1}
+    assert d.features.shape[0] == n
+    assert d.features.shape[1] > 0
+
+
+def test_load_genius_and_directed(data_root):
+    rng = np.random.default_rng(1)
+    n, e = 50, 200
+    edges = _random_edges(n, e, rng)
+    scipy.io.savemat(
+        data_root / "genius.mat",
+        {
+            "edge_index": edges,
+            "node_feat": rng.normal(size=(n, 12)).astype(np.float32),
+            "label": rng.integers(0, 2, n),
+        },
+    )
+    d = linkx.load_genius()
+    assert abs(d.adj - d.adj.T).nnz == 0  # symmetrized by default
+    d2 = linkx.load_genius(directed=True)
+    assert d2.adj.nnz <= e
+
+
+def test_load_snap_patents_quantile(data_root):
+    rng = np.random.default_rng(2)
+    n, e = 80, 300
+    scipy.io.savemat(
+        data_root / "snap_patents.mat",
+        {
+            "edge_index": _random_edges(n, e, rng),
+            "node_feat": sp.csr_matrix(
+                rng.normal(size=(n, 6)).astype(np.float32)
+            ),
+            "num_nodes": n,
+            "years": rng.integers(1980, 2010, n),
+        },
+    )
+    d = linkx.load_snap_patents()
+    assert d.num_classes == 5
+    assert d.num_nodes == n
+
+
+def test_load_yelpchi(data_root):
+    rng = np.random.default_rng(3)
+    n = 40
+    a = sp.random(n, n, density=0.2, random_state=1)
+    scipy.io.savemat(
+        data_root / "YelpChi.mat",
+        {
+            "homo": a,
+            "features": sp.csr_matrix(rng.normal(size=(n, 5))),
+            "label": rng.integers(0, 2, n),
+        },
+    )
+    d = linkx.load_yelpchi()
+    assert d.num_nodes == n and d.features.shape == (n, 5)
+
+
+def test_load_twitch_gamer(data_root):
+    import pandas as pd
+
+    rng = np.random.default_rng(4)
+    n, e = 30, 100
+    edges = pd.DataFrame(
+        {"numeric_id_1": rng.integers(0, n, e),
+         "numeric_id_2": rng.integers(0, n, e)}
+    )
+    nodes = pd.DataFrame(
+        {
+            "views": rng.integers(0, 1000, n),
+            "mature": rng.integers(0, 2, n),
+            "life_time": rng.integers(0, 500, n),
+            "created_at": ["2015-01-02"] * n,
+            "updated_at": ["2020-03-04"] * n,
+            "numeric_id": np.arange(n),
+            "dead_account": rng.integers(0, 2, n),
+            "language": rng.choice(["EN", "DE", "FR"], n),
+            "affiliate": rng.integers(0, 2, n),
+        }
+    )
+    edges.to_csv(data_root / "twitch-gamer_edges.csv", index=False)
+    nodes.to_csv(data_root / "twitch-gamer_feat.csv", index=False)
+    d = linkx.load_twitch_gamer()
+    assert d.num_nodes == n
+    assert set(np.unique(d.labels)) <= {0, 1}
+    # z-scored features
+    assert abs(float(d.features.mean())) < 0.2
+
+
+def test_load_twitch_explicit(data_root):
+    rng = np.random.default_rng(5)
+    n = 25
+    lang_dir = data_root / "twitch" / "DE"
+    lang_dir.mkdir(parents=True)
+    with open(lang_dir / "musae_DE_target.csv", "w") as f:
+        f.write("id,days,mature,views,partner,new_id\n")
+        for i in range(n):
+            f.write(f"{i},100,{'True' if i % 2 else 'False'},10,False,{i}\n")
+    with open(lang_dir / "musae_DE_edges.csv", "w") as f:
+        f.write("from,to\n")
+        for _ in range(60):
+            f.write(f"{rng.integers(0, n)},{rng.integers(0, n)}\n")
+    feats = {str(i): rng.integers(0, 100, rng.integers(1, 6)).tolist()
+             for i in range(n)}
+    with open(lang_dir / "musae_DE_features.json", "w") as f:
+        json.dump(feats, f)
+    d = linkx.load_twitch_explicit("DE")
+    assert d.num_nodes == n
+    assert set(np.unique(d.labels)) <= {0, 1}
+
+
+def test_load_arxiv_year_npz(data_root):
+    rng = np.random.default_rng(6)
+    n, e = 70, 250
+    np.savez(
+        data_root / "ogbn_arxiv.npz",
+        edge_index=_random_edges(n, e, rng),
+        node_feat=rng.normal(size=(n, 16)).astype(np.float32),
+        node_year=rng.integers(1990, 2020, n),
+    )
+    d = linkx.load_arxiv_year()
+    assert d.num_classes == 5 and d.num_nodes == n
+
+
+def test_load_ogbn_proteins_npz(data_root):
+    rng = np.random.default_rng(7)
+    n, e = 40, 150
+    np.savez(
+        data_root / "ogbn_proteins.npz",
+        edge_index=_random_edges(n, e, rng),
+        edge_feat=rng.random((e, 8)).astype(np.float32),
+        labels=(rng.random((n, 112)) < 0.1).astype(np.float32),
+    )
+    d = linkx.load_ogbn_proteins()
+    assert d.features.shape == (n, 8)
+    assert d.labels.shape == (n, 112)
+
+
+def test_registry_dispatch_gated(data_root):
+    from acmgnn_tpu.data.registry import load_dataset
+
+    with pytest.raises(FileNotFoundError):
+        load_dataset("pokec")
