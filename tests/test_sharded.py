@@ -171,3 +171,20 @@ def test_run_experiment_sharded_end_to_end(mesh):
     out = run_experiment_sharded("texas", cfg, mesh, pad_multiple=64)
     assert out["devices"] == 8
     assert out["test_mean"] > 0.6, out
+
+
+def test_host_local_rows(small_graph, mesh):
+    """Single-host: every mesh device is local; ranges tile the graph."""
+    import jax as _jax
+
+    from acmgnn_tpu.parallel.multihost import host_local_rows, init_multihost
+    from acmgnn_tpu.parallel.partition import partition_rows
+
+    assert init_multihost() is False  # single-process no-op
+    adj, _, _ = small_graph
+    boundaries = partition_rows(adj, 8)
+    rpp = int(np.max(np.diff(boundaries)))
+    rows = host_local_rows(boundaries, rpp, mesh)
+    assert len(rows) == 8
+    covered = sorted((r0, r1) for _, r0, r1, _ in rows)
+    assert covered[0][0] == 0 and covered[-1][1] == adj.shape[0]
