@@ -54,6 +54,12 @@ def _add_train_args(p: argparse.ArgumentParser):
                    choices=["auto", "dense", "coo", "ell"], default="auto")
     p.add_argument("--reorder", choices=["none", "rcm", "degree"],
                    default="none")
+    p.add_argument("--spmm_dtype", choices=["float32", "bfloat16"],
+                   default="float32")
+    p.add_argument("--ell_hub_threshold", type=int, default=0,
+                   help="ELL dense-row hybrid degree cutoff (0 = off)")
+    p.add_argument("--joint", type=int, default=0,
+                   help="paired train+eval loop (one 4-wide fused gather)")
     p.add_argument("--normalization", choices=["row", "sym"], default="row")
     p.add_argument("--log_dir", default="./logs")
     p.add_argument("--results_csv", default="")
@@ -97,6 +103,9 @@ def config_from_args(args) -> TrainConfig:
         normalization=args.normalization,
         operator_format=args.operator_format,
         reorder=args.reorder,
+        spmm_dtype=args.spmm_dtype,
+        joint=bool(args.joint),
+        ell_hub_threshold=args.ell_hub_threshold,
     )
 
 

@@ -41,11 +41,22 @@ class EllBucket(struct.PyTreeNode):
 
 
 class EllHalf(struct.PyTreeNode):
-    """Bucketed ELL representation of one matrix (A or A^T)."""
+    """Bucketed ELL representation of one matrix (A or A^T).
+
+    ``hub_mat``: optional dense block holding the highest-degree rows
+    (power-law hubs).  A hub row of degree k costs k random 256-512B
+    descriptor fetches in ELL form but only one sequential [1, N] row
+    read feeding an MXU matmul in dense form — at the measured ~368M
+    descriptors/s wall, dense wins once k exceeds a couple thousand
+    (and the [N, D] right-hand side read is shared by all hub rows).
+    Hub rows are the first rows in degree-sorted order, so they simply
+    prepend the bucket concat; ``inv_perm`` is unchanged.
+    """
 
     buckets: tuple      # tuple[EllBucket, ...]
     inv_perm: jnp.ndarray  # [N] int32: output row i <- concat_result[inv_perm[i]]
     num_zero_rows: int = struct.field(pytree_node=False)
+    hub_mat: jnp.ndarray | None = None   # [n_hub, N] float32 dense rows
 
 
 class EllOp(struct.PyTreeNode):
@@ -67,11 +78,27 @@ class EllOp(struct.PyTreeNode):
 def _build_half(
     csr: sp.csr_matrix, kc: int, min_bucket_rows: int,
     bucket_ratio: float = 0.75,
+    hub_threshold: int = 0,
+    hub_budget_bytes: int = 512 * 1024 * 1024,
 ) -> EllHalf:
     n = csr.shape[0]
     deg = np.diff(csr.indptr)
     order = np.argsort(-deg, kind="stable")  # high degree first
     sorted_deg = deg[order]
+    nz_rows = int((sorted_deg > 0).sum())
+
+    # Dense hub block: rows with degree >= hub_threshold (0 disables),
+    # capped by the memory budget for the [n_hub, N] block.
+    hub_mat = None
+    n_hub = 0
+    if hub_threshold > 0:
+        n_hub = int(np.searchsorted(-sorted_deg, -hub_threshold, side="right"))
+        n_hub = min(n_hub, int(hub_budget_bytes // max(4 * n, 1)), nz_rows)
+        if n_hub > 0:
+            hub_rows = order[:n_hub]
+            hub_mat = jnp.asarray(
+                csr[hub_rows].toarray().astype(np.float32)
+            )
 
     # Bucket boundaries: a bucket spans rows whose degree stays above
     # ``bucket_ratio * k_max``, bounding pad expansion to ~1/ratio while
@@ -80,8 +107,7 @@ def _build_half(
     # exactly their row-fetch count — tight buckets matter more than
     # narrow rows.
     buckets = []
-    start = 0
-    nz_rows = int((sorted_deg > 0).sum())
+    start = n_hub
     while start < nz_rows:
         k_max = int(sorted_deg[start])
         lo = max(int(k_max * bucket_ratio), 0)
@@ -116,13 +142,14 @@ def _build_half(
         )
         start = end
 
-    # concat order = sorted rows (nonzero-degree) then zero-degree rows
+    # concat order = [hub rows,] sorted rows (nonzero-degree), zero rows
     inv = np.empty(n, np.int64)
     inv[order] = np.arange(n)
     return EllHalf(
         buckets=tuple(buckets),
         inv_perm=jnp.asarray(inv.astype(np.int32)),
         num_zero_rows=n - nz_rows,
+        hub_mat=hub_mat,
     )
 
 
@@ -132,15 +159,19 @@ def make_ell_op(
     kc: int | None = None,
     min_bucket_rows: int = 1024,
     gather_dtype=jnp.float32,
+    hub_threshold: int | None = None,
 ) -> EllOp:
-    if kc is None:
-        import os
+    import os
 
+    if kc is None:
         kc = int(os.environ.get("ACMGNN_ELL_KC", "8"))
+    if hub_threshold is None:
+        hub_threshold = int(os.environ.get("ACMGNN_ELL_HUB", "0"))
     csr = sp.csr_matrix(mat)
     return EllOp(
-        fwd=_build_half(csr, kc, min_bucket_rows),
-        bwd=_build_half(csr.T.tocsr(), kc, min_bucket_rows),
+        fwd=_build_half(csr, kc, min_bucket_rows, hub_threshold=hub_threshold),
+        bwd=_build_half(csr.T.tocsr(), kc, min_bucket_rows,
+                        hub_threshold=hub_threshold),
         num_nodes=csr.shape[0],
         nnz=int(csr.nnz),
         gather_dtype=gather_dtype,
@@ -181,7 +212,16 @@ def _bucket_spmm(bucket: EllBucket, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _half_spmm(half: EllHalf, x: jnp.ndarray) -> jnp.ndarray:
-    parts = [_bucket_spmm(b, x) for b in half.buckets]
+    parts = []
+    if half.hub_mat is not None:
+        # Hub rows: one sequential MXU matmul replaces their descriptors.
+        parts.append(
+            jnp.dot(
+                half.hub_mat.astype(x.dtype), x,
+                preferred_element_type=jnp.float32,
+            )
+        )
+    parts += [_bucket_spmm(b, x) for b in half.buckets]
     if half.num_zero_rows:
         parts.append(
             jnp.zeros((half.num_zero_rows, x.shape[1]), jnp.float32)

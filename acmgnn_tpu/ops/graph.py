@@ -302,6 +302,7 @@ def precompute_operators(
     fmt: str = "auto",                # "auto" | "dense" | "coo" | "ell"
     dense_threshold: int = DEFAULT_DENSE_THRESHOLD,
     spmm_dtype=None,                  # e.g. jnp.bfloat16: halve ELL gather traffic
+    ell_hub_threshold: int | None = None,  # dense-row hybrid for hub rows
 ) -> Operators:
     """Build the device operator bundle from a raw adjacency matrix."""
     adj = sp.csr_matrix(adj)
@@ -331,10 +332,9 @@ def precompute_operators(
     elif fmt == "ell":
         from acmgnn_tpu.ops.ell import make_ell_op
 
+        make = partial(make_ell_op, hub_threshold=ell_hub_threshold)
         if spmm_dtype is not None:
-            make = partial(make_ell_op, gather_dtype=spmm_dtype)
-        else:
-            make = make_ell_op
+            make = partial(make, gather_dtype=spmm_dtype)
     else:
         raise ValueError(f"unknown operator format: {fmt!r}")
 

@@ -49,6 +49,16 @@ class TrainConfig:
     operator_format: str = "auto"     # "auto" | "dense" | "coo" | "ell"
     spmm_dtype: str = "float32"       # "bfloat16": halve ELL gather traffic
     reorder: str = "none"             # "rcm"|"degree": gather-locality perm
+    # ELL dense-row hybrid: rows with degree >= this become one MXU
+    # matmul block instead of per-edge gather descriptors (0 disables;
+    # pays off on power-law hub nodes, degree >~ 2k).
+    ell_hub_threshold: int = 0
+    # joint paired train+eval loop: epoch k's train forward and epoch
+    # k-1's eval forward ride ONE 4-wide fused gather.  Pays off when the
+    # gather stays descriptor-bound (spmm_dtype=bfloat16 keeps the 4-wide
+    # rows at 512B); exactly equivalent to the sequential loop (tested).
+    # Falls back to sequential for model types without a paired forward.
+    joint: bool = False
     feature_normalize: Optional[bool] = None  # None => reference rule
 
     def resolve_layernorm(self) -> bool:

@@ -124,9 +124,14 @@ def make_split_runner(model: ACMGNN, cfg: TrainConfig, tx=None, joint=None):
     use_rocauc = cfg.metric == "rocauc"
     es = int(cfg.early_stopping)
     epochs = int(cfg.epochs)
+    # The stop rule (val_loss > mean of the last `es` losses) can only
+    # trigger after epoch `es`; with epochs <= es it never fires, and the
+    # window slice would exceed the history buffer — disable it.
+    if es >= epochs:
+        es = 0
     sel_metric = cfg.selection == "val_metric"
     if joint is None:
-        joint = False
+        joint = bool(cfg.joint) and cfg.model_type in JOINT_CAPABLE
 
     def train_loss_fn(params, rest, rng, ops, x, labels, labels_onehot, train_mask):
         variables = {"params": params, **rest}
@@ -577,6 +582,7 @@ def prepare_data(dataset: GraphData | str, cfg: TrainConfig):
         spmm_dtype=(
             jnp.bfloat16 if cfg.spmm_dtype == "bfloat16" else None
         ),
+        ell_hub_threshold=cfg.ell_hub_threshold or None,
     )
     labels = np.asarray(data.labels)
     if labels.ndim > 1 and labels.shape[1] == 1:

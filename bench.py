@@ -43,7 +43,28 @@ def _twitch_gamers_scale_graph(seed=0):
     return adj, features, labels
 
 
-def bench_epoch_twitch_scale(epochs=30, warmup=5):
+def _powerlaw_scale_graph(seed=0, alpha=0.6):
+    """Heavy-tailed stand-in (Chung-Lu): same N/E as twitch-gamers but
+    with power-law hubs (expected degree ~ rank^-alpha, max degree tens of
+    thousands) — the degree shape real social graphs have.  Exercises the
+    ELL dense-row hub hybrid, which the uniform stand-in cannot."""
+    from acmgnn_tpu.ops.native import build_sym_adjacency
+
+    rng = np.random.default_rng(seed)
+    n = 168_114
+    e = 6_797_557
+    w = (1.0 + np.arange(n)) ** -alpha
+    p = w / w.sum()
+    src = rng.choice(n, size=e, p=p).astype(np.int64)
+    dst = rng.choice(n, size=e, p=p).astype(np.int64)
+    adj = build_sym_adjacency(src, dst, n)
+    features = rng.normal(size=(n, 7)).astype(np.float32)
+    labels = (rng.random(n) < 0.5).astype(np.int32)
+    return adj, features, labels
+
+
+def bench_epoch_twitch_scale(epochs=30, warmup=5, graph="uniform",
+                             hub_threshold=0):
     import jax
     import jax.numpy as jnp
 
@@ -55,9 +76,12 @@ def bench_epoch_twitch_scale(epochs=30, warmup=5):
     )
     from acmgnn_tpu.ops.graph import GraphData
 
-    adj, features, labels = _twitch_gamers_scale_graph()
-    data = GraphData(name="twitch-gamers-scale", adj=adj, features=features,
-                     labels=labels)
+    if graph == "powerlaw":
+        adj, features, labels = _powerlaw_scale_graph()
+    else:
+        adj, features, labels = _twitch_gamers_scale_graph()
+    data = GraphData(name=f"twitch-gamers-scale-{graph}", adj=adj,
+                     features=features, labels=labels)
 
     import os
 
@@ -72,6 +96,7 @@ def bench_epoch_twitch_scale(epochs=30, warmup=5):
         selection="val_metric",
         operator_format="ell",
         reorder=os.environ.get("ACMGNN_BENCH_REORDER", "none"),
+        ell_hub_threshold=hub_threshold,
     )
     data, ops, x, y, y1h, nclass = prepare_data(data, cfg)
     n = data.num_nodes
@@ -102,8 +127,11 @@ def bench_epoch_twitch_scale(epochs=30, warmup=5):
     dt = time.perf_counter() - t0
     epoch_ms = 1000.0 * dt / epochs
     edges_per_epoch = 8 * ops.adj_low.nnz  # 2 layers x (2 fwd + 2 bwd) SpMM
+    name = "acmgcnp_twitch_gamers_scale_epoch_ms"
+    if graph != "uniform":
+        name = f"acmgcnp_twitch_gamers_scale_{graph}_epoch_ms"
     return {
-        "metric": "acmgcnp_twitch_gamers_scale_epoch_ms",
+        "metric": name,
         "value": round(epoch_ms, 3),
         "unit": "ms/epoch",
         "vs_baseline": round(BASELINE_EPOCH_MS / epoch_ms, 3),
@@ -111,6 +139,7 @@ def bench_epoch_twitch_scale(epochs=30, warmup=5):
             "nnz": int(ops.adj_low.nnz),
             "spmm_edges_per_s": round(edges_per_epoch / (dt / epochs)),
             "epochs": epochs,
+            "hub_threshold": hub_threshold,
             "device": str(jax.devices()[0]),
         },
     }
@@ -229,11 +258,16 @@ def main():
     p.add_argument(
         "--scenario",
         default="epoch",
-        choices=["epoch", "spmm", "texas", "scaling"],
+        choices=["epoch", "epoch_powerlaw", "spmm", "texas", "scaling"],
     )
+    p.add_argument("--hub_threshold", type=int, default=0)
     args = p.parse_args()
     if args.scenario == "epoch":
-        result = bench_epoch_twitch_scale()
+        result = bench_epoch_twitch_scale(hub_threshold=args.hub_threshold)
+    elif args.scenario == "epoch_powerlaw":
+        result = bench_epoch_twitch_scale(
+            graph="powerlaw", hub_threshold=args.hub_threshold
+        )
     elif args.scenario == "spmm":
         result = bench_spmm()
     elif args.scenario == "scaling":

@@ -222,3 +222,56 @@ def test_operators_pytree_roundtrip(small_graph):
 
     out = f(ops, x)
     assert out.shape == features.shape
+
+
+def test_ell_hub_hybrid_matches_dense():
+    """Dense-row hub hybrid: rows with degree >= threshold ride an MXU
+    matmul block; forward and gradient must match the dense reference
+    exactly (hub extraction only re-routes rows, never changes math)."""
+    from acmgnn_tpu.ops.ell import ell_spmm, make_ell_op
+
+    mat = _powerlaw_matrix().tolil()
+    mat[:, 3] = 0.5  # hub column -> hub row of the transpose half
+    mat = mat.tocsr()
+    op = make_ell_op(mat, kc=4, min_bucket_rows=16, hub_threshold=100)
+    # both halves must have engaged the hub block (row 0 is a full row;
+    # column 3 is a full column = hub row of the transpose)
+    assert op.fwd.hub_mat is not None and op.fwd.hub_mat.shape[0] >= 1
+    assert op.bwd.hub_mat is not None
+
+    x = jnp.asarray(
+        np.random.default_rng(5).normal(size=(mat.shape[0], 20)).astype(np.float32)
+    )
+    got = np.asarray(ell_spmm(op, x))
+    want = np.asarray(mat.todense()).astype(np.float32) @ np.asarray(x)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def loss(x_):
+        return jnp.sum(jnp.sin(ell_spmm(op, x_)))
+
+    dense = jnp.asarray(np.asarray(mat.todense()).astype(np.float32))
+
+    def loss_ref(x_):
+        return jnp.sum(jnp.sin(dense @ x_))
+
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(loss)(x)),
+        np.asarray(jax.grad(loss_ref)(x)),
+        rtol=1e-4,
+        atol=1e-5,
+    )
+
+
+def test_ell_hub_all_rows_dense():
+    """Degenerate case: threshold 1 puts every nonzero row in the hub."""
+    from acmgnn_tpu.ops.ell import ell_spmm, make_ell_op
+
+    mat = _powerlaw_matrix(n=60)
+    op = make_ell_op(mat, kc=4, min_bucket_rows=4, hub_threshold=1)
+    assert len(op.fwd.buckets) == 0
+    x = jnp.asarray(
+        np.random.default_rng(6).normal(size=(mat.shape[0], 8)).astype(np.float32)
+    )
+    got = np.asarray(ell_spmm(op, x))
+    want = np.asarray(mat.todense()).astype(np.float32) @ np.asarray(x)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
