@@ -241,3 +241,17 @@ def test_joint_runner_matches_sequential():
     assert float(r1.test_metric) == pytest.approx(float(r2.test_metric), abs=1e-5)
     assert float(r1.val_loss) == pytest.approx(float(r2.val_loss), abs=1e-5)
     assert abs(int(r1.epochs_run) - int(r2.epochs_run)) <= 1
+
+
+def test_e2e_early_stop_window_longer_than_run():
+    """epochs <= early_stopping window: the stop rule can never fire, and
+    the window slice must not crash at trace time (regression)."""
+    cfg = TrainConfig(
+        model_type="acmgcn",
+        epochs=50,
+        early_stopping=200,
+        num_splits=1,
+        fixed_splits=True,
+    )
+    out = run_experiment("texas", cfg)
+    assert out["epochs_total"] == 50
