@@ -160,6 +160,7 @@ def make_ell_op(
     min_bucket_rows: int = 1024,
     gather_dtype=jnp.float32,
     hub_threshold: int | None = None,
+    bucket_ratio: float | None = None,
 ) -> EllOp:
     import os
 
@@ -167,10 +168,13 @@ def make_ell_op(
         kc = int(os.environ.get("ACMGNN_ELL_KC", "8"))
     if hub_threshold is None:
         hub_threshold = int(os.environ.get("ACMGNN_ELL_HUB", "0"))
+    if bucket_ratio is None:
+        bucket_ratio = float(os.environ.get("ACMGNN_ELL_RATIO", "0.75"))
     csr = sp.csr_matrix(mat)
     return EllOp(
-        fwd=_build_half(csr, kc, min_bucket_rows, hub_threshold=hub_threshold),
-        bwd=_build_half(csr.T.tocsr(), kc, min_bucket_rows,
+        fwd=_build_half(csr, kc, min_bucket_rows, bucket_ratio,
+                        hub_threshold=hub_threshold),
+        bwd=_build_half(csr.T.tocsr(), kc, min_bucket_rows, bucket_ratio,
                         hub_threshold=hub_threshold),
         num_nodes=csr.shape[0],
         nnz=int(csr.nnz),

@@ -85,6 +85,12 @@ def bench_epoch_twitch_scale(epochs=30, warmup=5, graph="uniform",
 
     import os
 
+    # Headline configuration: joint paired train+eval loop with bf16
+    # gather rows.  The fused 4-wide gather stays at 512B rows —
+    # descriptor-bound — so the 2x descriptor halving materializes
+    # (measured 259 vs 310 ms/epoch; tools/joint_bf16_probe.py).
+    # Accuracy-neutral on the full reference protocol
+    # (tools/bf16_parity_probe.py; PARITY.md).
     cfg = TrainConfig(
         model_type="acmgcnp",
         hidden=64,
@@ -97,6 +103,8 @@ def bench_epoch_twitch_scale(epochs=30, warmup=5, graph="uniform",
         operator_format="ell",
         reorder=os.environ.get("ACMGNN_BENCH_REORDER", "none"),
         ell_hub_threshold=hub_threshold,
+        spmm_dtype=os.environ.get("ACMGNN_BENCH_DTYPE", "bfloat16"),
+        joint=os.environ.get("ACMGNN_BENCH_JOINT", "1") == "1",
     )
     data, ops, x, y, y1h, nclass = prepare_data(data, cfg)
     n = data.num_nodes
