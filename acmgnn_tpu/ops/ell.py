@@ -101,29 +101,47 @@ def _build_half(
             )
 
     # Bucket boundaries: a bucket spans rows whose degree stays above
-    # ``bucket_ratio * k_max``, bounding pad expansion to ~1/ratio while
-    # keeping bucket count logarithmic.  The gather is descriptor-bound on
-    # TPU (measured: bf16 rows gain nothing), so wasted pad slots cost
-    # exactly their row-fetch count — tight buckets matter more than
-    # narrow rows.
+    # ``bucket_ratio * k_max``, bounding pad expansion to ~1/ratio AND
+    # bucket count geometrically (width shrinks by > 1/ratio per bucket,
+    # so <= log_{1/ratio}(max_degree) ~ 37 buckets at ratio 0.75).  The
+    # gather is descriptor-bound on TPU (measured: bf16 rows gain
+    # nothing), so wasted pad slots cost exactly their row-fetch count —
+    # tight buckets matter more than narrow rows.  Small buckets
+    # (< min_bucket_rows) absorb following rows to cut bucket count,
+    # but ONLY rows with degree >= k_max/2 — the old unbounded absorb
+    # padded thousands of mid-degree rows to hub width on power-law
+    # graphs (measured 4.5x epoch slowdown at twitch scale).
     buckets = []
     start = n_hub
     while start < nz_rows:
         k_max = int(sorted_deg[start])
+        # bucket covers degrees in (lo, k_max]: ties at the boundary go
+        # to the NARROWER bucket (padding them to this bucket's width
+        # costs measurable fetches at scale)
         lo = max(int(k_max * bucket_ratio), 0)
         end = int(np.searchsorted(-sorted_deg, -lo, side="left"))
-        if end <= start:
-            end = start + 1
-        # absorb tiny tail buckets
+        end = min(max(end, start + 1), nz_rows)
         if end - start < min_bucket_rows:
-            end = min(start + min_bucket_rows, nz_rows)
-            k_max = int(sorted_deg[start])
+            half = max(k_max // 2, 1)
+            absorb_lim = int(
+                np.searchsorted(-sorted_deg, -half, side="right")
+            )
+            end = min(
+                max(end, min(start + min_bucket_rows, absorb_lim)), nz_rows
+            )
         rows = order[start:end]
-        # Wide buckets: width padded to a kc multiple so the slot scan
-        # needs no runtime pad.  Narrow buckets (<= kc) keep their exact
-        # width — rounding them up would multiply descriptor count for
-        # the (large) low-degree row population.
-        k_pad = max(k_max, 1) if k_max <= kc else -(-k_max // kc) * kc
+        # Slot-chunk size per bucket: scale so each scan step gathers
+        # ~64k rows (wide buckets with few rows would otherwise scan
+        # hundreds of tiny steps); narrow buckets (<= kc) keep their
+        # exact width — rounding them up would multiply descriptor
+        # count for the (large) low-degree row population.
+        kc_b = kc
+        while kc_b < k_max and len(rows) * kc_b < 65536:
+            kc_b *= 2
+        if k_max <= kc_b:
+            k_pad = max(k_max, 1)
+        else:
+            k_pad = -(-k_max // kc_b) * kc_b
         cols = np.zeros((len(rows), k_pad), np.int32)
         vals = np.zeros((len(rows), k_pad), np.float32)
         # vectorized ELL packing: flatten (row, slot) targets for all nnz
@@ -138,7 +156,7 @@ def _build_half(
             cols[row_pos, slot] = csr.indices[src]
             vals[row_pos, slot] = csr.data[src]
         buckets.append(
-            EllBucket(cols=jnp.asarray(cols), vals=jnp.asarray(vals), kc=kc)
+            EllBucket(cols=jnp.asarray(cols), vals=jnp.asarray(vals), kc=kc_b)
         )
         start = end
 
@@ -166,8 +184,12 @@ def make_ell_op(
 
     if kc is None:
         kc = int(os.environ.get("ACMGNN_ELL_KC", "8"))
+    # Default AUTO (2048): rows this dense are always cheaper as one MXU
+    # matmul row than as thousands of descriptors (measured on the
+    # power-law bench: 1238 -> 277 ms/epoch).  Graphs without such rows
+    # are unaffected.  Pass <= 0 to disable.
     if hub_threshold is None:
-        hub_threshold = int(os.environ.get("ACMGNN_ELL_HUB", "0"))
+        hub_threshold = int(os.environ.get("ACMGNN_ELL_HUB", "2048"))
     if bucket_ratio is None:
         bucket_ratio = float(os.environ.get("ACMGNN_ELL_RATIO", "0.75"))
     csr = sp.csr_matrix(mat)

@@ -50,8 +50,9 @@ class TrainConfig:
     spmm_dtype: str = "float32"       # "bfloat16": halve ELL gather traffic
     reorder: str = "none"             # "rcm"|"degree": gather-locality perm
     # ELL dense-row hybrid: rows with degree >= this become one MXU
-    # matmul block instead of per-edge gather descriptors (0 disables;
-    # pays off on power-law hub nodes, degree >~ 2k).
+    # matmul block instead of per-edge gather descriptors (pays off on
+    # power-law hub nodes; measured 4.5x at twitch scale).
+    # 0 = auto (2048), negative = off.
     ell_hub_threshold: int = 0
     # joint paired train+eval loop: epoch k's train forward and epoch
     # k-1's eval forward ride ONE 4-wide fused gather.  Pays off when the
