@@ -61,6 +61,14 @@ def _add_train_args(p: argparse.ArgumentParser):
     p.add_argument("--joint", type=int, default=0,
                    help="paired train+eval loop (one 4-wide fused gather)")
     p.add_argument("--normalization", choices=["row", "sym"], default="row")
+    p.add_argument("--sharded", type=int, default=0, metavar="N",
+                   help="train over an N-device mesh (0 = single device; "
+                        "-1 = all available devices)")
+    p.add_argument("--exchange", choices=["allgather", "halo", "auto"],
+                   default="auto",
+                   help="sharded SpMM communication: full feature "
+                        "all-gather, dedup'd boundary halo all_to_all "
+                        "(pair with --reorder rcm), or auto by volume")
     p.add_argument("--log_dir", default="./logs")
     p.add_argument("--results_csv", default="")
 
@@ -118,7 +126,21 @@ def cmd_train(args):
         name=f"{args.dataset}_{args.model}", log_dir=args.log_dir
     )
     logger.info("config: %s", dataclasses.asdict(cfg))
-    out = run_experiment(args.dataset, cfg, logger=logger)
+    if getattr(args, "sharded", 0):
+        import jax
+
+        from acmgnn_tpu.parallel.sharded import make_graph_mesh
+        from acmgnn_tpu.train.trainer import run_experiment_sharded
+
+        devices = jax.devices()
+        if args.sharded > 0:
+            devices = devices[: args.sharded]
+        mesh = make_graph_mesh(devices)
+        out = run_experiment_sharded(
+            args.dataset, cfg, mesh, logger=logger, exchange=args.exchange
+        )
+    else:
+        out = run_experiment(args.dataset, cfg, logger=logger)
     if args.results_csv:
         logger.append_csv(
             args.results_csv,

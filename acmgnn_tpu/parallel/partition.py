@@ -113,6 +113,96 @@ def build_sharded_coo(
     }
 
 
+def build_halo_schedule(blocks: dict, pad_multiple: int = 8) -> dict:
+    """Dedup'd boundary (halo) exchange schedule for a sharded operator.
+
+    The plain sharded SpMM all-gathers the full feature matrix before the
+    local gather (every device receives (P-1)*rows_per_part remote rows per
+    call).  But each device's block only *references* the remote rows that
+    appear among its column ids — on a locality-ordered graph (RCM/BFS,
+    `ops/graph.py reorder_*`) that set is a thin band around the partition
+    boundary.  This precomputes, for every (owner q, consumer p) pair, the
+    deduplicated list of q's local rows that p needs, so the device-side
+    exchange can be one uniform ``all_to_all`` of ``[P, halo_pad, d]`` send
+    slabs instead of a full all-gather.  (The reference has no distributed
+    layer at all — SURVEY.md §2.9b lists this halo exchange as a required
+    new capability of the TPU build.)
+
+    Input: the dict from ``build_sharded_coo`` (columns in padded-global id
+    space ``q * rows_per_part + local``).  Returns, for the forward and
+    transpose operators:
+
+    - ``col_h`` / ``col_h_t``: [P, nnz_pad] columns remapped into the
+      device-local concat space ``[own block (rows_per_part) | halo slabs
+      (P * halo_pad)]``: own-part columns keep their local id, a column in
+      remote part q at rank r of its need-list becomes
+      ``rows_per_part + q * halo_pad + r``.
+    - ``send_idx`` / ``send_idx_t``: [P(owner), P(dest), halo_pad] local row
+      ids each owner gathers into its send slab (unused slots send row 0,
+      which no remapped column ever references).
+    - ``halo_pad`` / ``halo_pad_t``: uniform padded slab width, and
+    - ``halo_rows`` / ``halo_rows_t``: total real (pre-pad) halo rows, for
+      the halo-vs-allgather volume decision.
+    """
+    rows_per_part = int(blocks["rows_per_part"])
+    n_parts = blocks["row_l"].shape[0]
+
+    def schedule(row_l, col):
+        need = [[None] * n_parts for _ in range(n_parts)]  # [p][q] -> local ids
+        for p in range(n_parts):
+            valid = row_l[p] != rows_per_part  # sentinel rows are padding
+            cols_p = np.unique(col[p][valid])
+            owner = cols_p // rows_per_part
+            local = cols_p % rows_per_part
+            for q in range(n_parts):
+                if q == p:
+                    continue
+                need[p][q] = local[owner == q]
+        halo_rows = sum(
+            n.size for row in need for n in row if n is not None
+        )
+        h_max = max(
+            (n.size for row in need for n in row if n is not None),
+            default=0,
+        )
+        halo_pad = max(pad_multiple, -(-max(h_max, 1) // pad_multiple) * pad_multiple)
+
+        send_idx = np.zeros((n_parts, n_parts, halo_pad), dtype=np.int32)
+        col_h = np.zeros_like(col)
+        for p in range(n_parts):
+            # remap table: padded-global id -> local concat id for part p
+            remap = np.zeros(n_parts * rows_per_part, dtype=np.int32)
+            own0 = p * rows_per_part
+            remap[own0 : own0 + rows_per_part] = np.arange(
+                rows_per_part, dtype=np.int32
+            )
+            for q in range(n_parts):
+                if q == p:
+                    continue
+                ids = need[p][q]
+                send_idx[q, p, : ids.size] = ids
+                remap[q * rows_per_part + ids] = (
+                    rows_per_part + q * halo_pad + np.arange(ids.size, dtype=np.int32)
+                )
+            col_h[p] = remap[col[p]]
+        return col_h, send_idx, halo_pad, halo_rows
+
+    col_h, send_idx, halo_pad, halo_rows = schedule(blocks["row_l"], blocks["col"])
+    col_h_t, send_idx_t, halo_pad_t, halo_rows_t = schedule(
+        blocks["row_l_t"], blocks["col_t"]
+    )
+    return {
+        "col_h": col_h,
+        "send_idx": send_idx,
+        "halo_pad": halo_pad,
+        "halo_rows": halo_rows,
+        "col_h_t": col_h_t,
+        "send_idx_t": send_idx_t,
+        "halo_pad_t": halo_pad_t,
+        "halo_rows_t": halo_rows_t,
+    }
+
+
 def pad_node_array(arr: np.ndarray, boundaries: np.ndarray, rows_per_part: int):
     """Re-lay a [N, ...] node array into [P * rows_per_part, ...] so each
     device's contiguous slab holds its partition's rows (zero padded)."""

@@ -29,7 +29,11 @@ import jax.numpy as jnp
 from flax import struct
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from acmgnn_tpu.parallel.partition import build_sharded_coo, pad_node_array
+from acmgnn_tpu.parallel.partition import (
+    build_halo_schedule,
+    build_sharded_coo,
+    pad_node_array,
+)
 
 GRAPH_AXIS = "graph"
 
@@ -51,6 +55,16 @@ class ShardedCooOp(struct.PyTreeNode):
     num_nodes: int = struct.field(pytree_node=False)       # logical N
     nnz: int = struct.field(pytree_node=False)
     mesh: Mesh = struct.field(pytree_node=False, default=None)
+    # Optional dedup'd halo-exchange schedule (build_halo_schedule); when
+    # present, sharded_spmm exchanges only boundary rows via all_to_all
+    # instead of all-gathering the full feature matrix.
+    col_h: jnp.ndarray = None       # [P, nnz_pad] concat-space col ids
+    send_idx: jnp.ndarray = None    # [P(owner), P(dest), halo_pad]
+    col_h_t: jnp.ndarray = None
+    send_idx_t: jnp.ndarray = None
+    halo_pad: int = struct.field(pytree_node=False, default=0)
+    halo_pad_t: int = struct.field(pytree_node=False, default=0)
+    halo_rows: int = struct.field(pytree_node=False, default=0)
 
     @property
     def padded_nodes(self) -> int:
@@ -63,13 +77,35 @@ def make_graph_mesh(devices=None) -> Mesh:
 
 
 def make_sharded_coo_op(
-    adj_op, mesh: Mesh, pad_multiple: int = 512, boundaries=None
+    adj_op,
+    mesh: Mesh,
+    pad_multiple: int = 512,
+    boundaries=None,
+    exchange: str = "allgather",
 ) -> ShardedCooOp:
-    """Host-side build + device placement of a sharded operator."""
+    """Host-side build + device placement of a sharded operator.
+
+    ``exchange``: ``"allgather"`` (full feature all-gather per SpMM),
+    ``"halo"`` (dedup'd boundary-row all_to_all — wins when the graph is
+    locality-ordered so partitions only reference a thin boundary band), or
+    ``"auto"`` (pick halo iff its padded exchange volume is under half the
+    all-gather volume).
+    """
+    if exchange not in ("allgather", "halo", "auto"):
+        raise ValueError(f"unknown exchange mode: {exchange!r}")
     n_parts = mesh.devices.size
     blocks = build_sharded_coo(
         adj_op, n_parts, pad_multiple=pad_multiple, boundaries=boundaries
     )
+    halo = {}
+    if exchange in ("halo", "auto") and n_parts > 1:
+        sched = build_halo_schedule(blocks)
+        rpp = int(blocks["rows_per_part"])
+        # rows actually moved per device per SpMM, padded slabs included
+        halo_vol = n_parts * max(sched["halo_pad"], sched["halo_pad_t"])
+        allgather_vol = (n_parts - 1) * rpp
+        if exchange == "halo" or halo_vol < 0.5 * allgather_vol:
+            halo = sched
     shard = NamedSharding(mesh, P(GRAPH_AXIS))
     dev = lambda a: jax.device_put(jnp.asarray(a), shard)
     return ShardedCooOp(
@@ -83,6 +119,13 @@ def make_sharded_coo_op(
         num_nodes=int(blocks["num_nodes"]),
         nnz=int(blocks["nnz"]),
         mesh=mesh,
+        col_h=dev(halo["col_h"]) if halo else None,
+        send_idx=dev(halo["send_idx"]) if halo else None,
+        col_h_t=dev(halo["col_h_t"]) if halo else None,
+        send_idx_t=dev(halo["send_idx_t"]) if halo else None,
+        halo_pad=int(halo["halo_pad"]) if halo else 0,
+        halo_pad_t=int(halo["halo_pad_t"]) if halo else 0,
+        halo_rows=int(halo["halo_rows"]) if halo else 0,
     ), blocks["boundaries"]
 
 
@@ -100,11 +143,15 @@ def make_sharded_operators(
     normalization: str = "row",
     structure_info: bool = False,
     pad_multiple: int = 512,
+    exchange: str = "allgather",
 ):
     """Sharded counterpart of ``ops.graph.precompute_operators``.
 
     Returns ``(Operators, boundaries, rows_per_part)``; node arrays must be
     placed with ``shard_node_array(arr, boundaries, rows_per_part, mesh)``.
+    ``exchange`` selects the SpMM communication pattern (see
+    ``make_sharded_coo_op``): full all-gather, dedup'd boundary halo
+    all_to_all, or auto by exchanged volume.
     """
     from acmgnn_tpu.ops.graph import (
         Operators,
@@ -119,12 +166,14 @@ def make_sharded_operators(
     else:
         raise ValueError(f"unknown normalization: {normalization!r}")
 
-    op_low, boundaries = make_sharded_coo_op(adj_low, mesh, pad_multiple)
+    op_low, boundaries = make_sharded_coo_op(
+        adj_low, mesh, pad_multiple, exchange=exchange
+    )
     adj_unnorm_op = None
     if structure_info:
         # Share A_hat's partition so all node activations line up.
         adj_unnorm_op, _ = make_sharded_coo_op(
-            adj, mesh, pad_multiple, boundaries=boundaries
+            adj, mesh, pad_multiple, boundaries=boundaries, exchange=exchange
         )
     return (
         Operators(adj_low=op_low, adj_unnorm=adj_unnorm_op),
@@ -146,6 +195,31 @@ def _local_spmm(row_l, col, val, x_block, mesh, rows_per_part):
     )
 
 
+def _local_spmm_halo(row_l, col_h, val, send_idx, x_block, mesh, rows_per_part):
+    """Per-device body, halo mode: exchange only dedup'd boundary rows.
+
+    ``send_idx[0]`` is this owner's [P, halo_pad] send lists; the
+    all_to_all delivers slab q (what owner q sent us) into slot q, and
+    ``col_h`` indexes the concat ``[own block | halo slabs]`` directly.
+    Unused slots carry row 0 and are never referenced.
+    """
+    row_l = row_l[0]
+    col_h = col_h[0]
+    val = val[0]
+    send_idx = send_idx[0]  # [P, halo_pad]
+    n_parts, halo_pad = send_idx.shape
+    send = jnp.take(x_block, send_idx.reshape(-1), axis=0)
+    send = send.reshape(n_parts, halo_pad, x_block.shape[1])
+    halo = jax.lax.all_to_all(send, GRAPH_AXIS, split_axis=0, concat_axis=0)
+    x_cat = jnp.concatenate(
+        [x_block, halo.reshape(n_parts * halo_pad, x_block.shape[1])], axis=0
+    )
+    gathered = jnp.take(x_cat, col_h, axis=0) * val[:, None]
+    return jax.ops.segment_sum(
+        gathered, row_l, num_segments=rows_per_part, indices_are_sorted=True
+    )
+
+
 def _spmm_shardmap(row_l, col, val, x, mesh, rows_per_part):
     fn = partial(_local_spmm, mesh=mesh, rows_per_part=rows_per_part)
     return jax.shard_map(
@@ -156,12 +230,34 @@ def _spmm_shardmap(row_l, col, val, x, mesh, rows_per_part):
     )(row_l, col, val, x)
 
 
+def _spmm_shardmap_halo(row_l, col_h, val, send_idx, x, mesh, rows_per_part):
+    fn = partial(_local_spmm_halo, mesh=mesh, rows_per_part=rows_per_part)
+    return jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(
+            P(GRAPH_AXIS),
+            P(GRAPH_AXIS),
+            P(GRAPH_AXIS),
+            P(GRAPH_AXIS),
+            P(GRAPH_AXIS, None),
+        ),
+        out_specs=P(GRAPH_AXIS, None),
+    )(row_l, col_h, val, send_idx, x)
+
+
 def sharded_spmm(op: ShardedCooOp, x: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
     """``A @ x`` with x row-sharded [padded_nodes, d]; custom VJP uses the
-    transpose blocks so backward has identical structure to forward."""
+    transpose blocks so backward has identical structure to forward.
+    Uses the dedup'd halo exchange when the op carries a schedule."""
 
     @jax.custom_vjp
     def _spmm(op_, x_):
+        if op_.col_h is not None:
+            return _spmm_shardmap_halo(
+                op_.row_l, op_.col_h, op_.val, op_.send_idx, x_,
+                mesh, op_.rows_per_part,
+            )
         return _spmm_shardmap(
             op_.row_l, op_.col, op_.val, x_, mesh, op_.rows_per_part
         )
@@ -170,9 +266,15 @@ def sharded_spmm(op: ShardedCooOp, x: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
         return _spmm(op_, x_), op_
 
     def _bwd(op_, g):
-        dx = _spmm_shardmap(
-            op_.row_l_t, op_.col_t, op_.val_t, g, mesh, op_.rows_per_part
-        )
+        if op_.col_h_t is not None:
+            dx = _spmm_shardmap_halo(
+                op_.row_l_t, op_.col_h_t, op_.val_t, op_.send_idx_t, g,
+                mesh, op_.rows_per_part,
+            )
+        else:
+            dx = _spmm_shardmap(
+                op_.row_l_t, op_.col_t, op_.val_t, g, mesh, op_.rows_per_part
+            )
         return jax.tree_util.tree_map(jnp.zeros_like, op_), dx
 
     _spmm.defvjp(_fwd, _bwd)

@@ -551,24 +551,31 @@ def run_experiment_stepwise(
     return out
 
 
+def maybe_reorder(data: GraphData, cfg: TrainConfig) -> GraphData:
+    """Apply cfg.reorder's locality permutation to the whole graph (adj,
+    features, labels) once; no-op if already permuted or reorder='none'."""
+    if cfg.reorder == "none" or data.perm is not None:
+        return data
+    from acmgnn_tpu.ops.graph import locality_order, permute_graph
+    import dataclasses as _dc
+
+    perm = locality_order(data.adj, cfg.reorder)
+    return _dc.replace(
+        data,
+        adj=permute_graph(data.adj, perm),
+        features=np.asarray(data.features)[perm],
+        labels=np.asarray(data.labels)[perm],
+        perm=perm,
+    )
+
+
 def prepare_data(dataset: GraphData | str, cfg: TrainConfig):
     """Load + preprocess a dataset into device arrays + operators."""
     if isinstance(dataset, str):
         data = load_dataset(dataset, cfg.sub_dataset, directed=cfg.directed)
     else:
         data = dataset
-    if cfg.reorder != "none" and data.perm is None:
-        from acmgnn_tpu.ops.graph import locality_order, permute_graph
-        import dataclasses as _dc
-
-        perm = locality_order(data.adj, cfg.reorder)
-        data = _dc.replace(
-            data,
-            adj=permute_graph(data.adj, perm),
-            features=np.asarray(data.features)[perm],
-            labels=np.asarray(data.labels)[perm],
-            perm=perm,
-        )
+    data = maybe_reorder(data, cfg)
     features = data.features
     if cfg.resolve_feature_normalize():
         features = row_normalize_features(features)
@@ -605,15 +612,20 @@ def run_experiment_sharded(
     *,
     logger=None,
     pad_multiple: int = 512,
+    exchange: str = "auto",
 ) -> dict:
     """Multi-chip full-batch training over a ``Mesh``.
 
     The graph operator is nnz-balanced row-partitioned (shard_map SpMM
-    with ICI all-gather, acmgnn_tpu/parallel/sharded.py); node arrays are
+    with ICI collectives, acmgnn_tpu/parallel/sharded.py); node arrays are
     padded + row-sharded; weights replicate.  The SAME fused while-loop
     runner as the single-chip path drives training — sharding propagates
     through it, metric reductions become psums.  This is the capability
     the reference lacks entirely (SURVEY.md §2.9b: single device or OOM).
+
+    ``exchange``: SpMM communication pattern — "allgather" (full feature
+    all-gather), "halo" (dedup'd boundary all_to_all; pair with
+    ``cfg.reorder`` for locality), or "auto" (by exchanged volume).
     """
     from acmgnn_tpu.parallel.sharded import (
         make_graph_mesh,
@@ -628,6 +640,9 @@ def run_experiment_sharded(
         if isinstance(dataset, str)
         else dataset
     )
+    # locality reorder before partitioning: RCM banding shrinks each
+    # part's boundary halo, which is what makes exchange="halo" pay
+    data = maybe_reorder(data, cfg)
     features = data.features
     if cfg.resolve_feature_normalize():
         features = row_normalize_features(features)
@@ -638,6 +653,7 @@ def run_experiment_sharded(
         normalization=cfg.normalization,
         structure_info=cfg.structure_info,
         pad_multiple=pad_multiple,
+        exchange=exchange,
     )
     labels_np = np.asarray(data.labels)
     if labels_np.ndim > 1 and labels_np.shape[1] == 1:

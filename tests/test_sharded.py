@@ -188,3 +188,109 @@ def test_host_local_rows(small_graph, mesh):
     assert len(rows) == 8
     covered = sorted((r0, r1) for _, r0, r1, _ in rows)
     assert covered[0][0] == 0 and covered[-1][1] == adj.shape[0]
+
+
+# ---------------------------------------------------------------------------
+# Dedup'd halo exchange (SURVEY.md §2.9b: boundary features sent once per
+# consumer shard instead of all-gathering the whole feature matrix)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def banded_graph():
+    """Ring lattice: node i connects to i±1..i±3 — after the contiguous row
+    partition every part only references a 3-row band of its neighbours."""
+    rng = np.random.default_rng(7)
+    n, f = 256, 12
+    import scipy.sparse as sp
+
+    rows, cols = [], []
+    for i in range(n):
+        for d in (1, 2, 3):
+            rows += [i, (i + d) % n]
+            cols += [(i + d) % n, i]
+    adj = sp.csr_matrix(
+        (np.ones(len(rows)), (rows, cols)), shape=(n, n)
+    )
+    adj.sum_duplicates()
+    adj.data[:] = 1.0
+    features = rng.normal(size=(n, f)).astype(np.float32)
+    return adj, features
+
+
+@pytest.mark.parametrize("graph_fixture", ["small_graph", "banded_graph"])
+def test_halo_spmm_matches_dense(graph_fixture, request, mesh):
+    got_fixture = request.getfixturevalue(graph_fixture)
+    adj, features = got_fixture[0], got_fixture[1]
+    a_hat = row_normalized_adjacency(adj)
+    op, boundaries = make_sharded_coo_op(
+        a_hat, mesh, pad_multiple=64, exchange="halo"
+    )
+    assert op.col_h is not None
+    x = shard_node_array(features, boundaries, op.rows_per_part, mesh)
+    out = np.asarray(sharded_spmm(op, x, mesh))
+    got = unpad_node_array(out, boundaries, op.rows_per_part)
+    want = np.asarray(a_hat.todense()) @ features
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_halo_spmm_grad_matches_dense(small_graph, mesh):
+    adj, features, _ = small_graph
+    a_hat = row_normalized_adjacency(adj)
+    op, boundaries = make_sharded_coo_op(
+        a_hat, mesh, pad_multiple=64, exchange="halo"
+    )
+    x = shard_node_array(features, boundaries, op.rows_per_part, mesh)
+
+    def loss(x_):
+        return jnp.sum(jnp.sin(sharded_spmm(op, x_, mesh)))
+
+    g = np.asarray(jax.grad(loss)(x))
+    g = unpad_node_array(g, boundaries, op.rows_per_part)
+
+    dense = np.asarray(a_hat.todense())
+
+    def loss_ref(x_):
+        return jnp.sum(jnp.sin(dense @ x_))
+
+    g_ref = np.asarray(jax.grad(loss_ref)(jnp.asarray(features)))
+    np.testing.assert_allclose(g, g_ref, rtol=1e-5, atol=1e-6)
+
+
+def test_halo_auto_selects_by_volume(small_graph, banded_graph, mesh):
+    """auto: banded graph -> halo (thin boundary); dense-random 80-node
+    graph -> all-gather (halo would exchange as much as the full matrix)."""
+    adj_band, _ = banded_graph
+    op_band, _ = make_sharded_coo_op(
+        row_normalized_adjacency(adj_band), mesh, pad_multiple=64,
+        exchange="auto",
+    )
+    assert op_band.col_h is not None
+    # thin band: padded halo slabs stay far under the all-gather volume
+    assert 8 * op_band.halo_pad < op_band.rows_per_part * 7
+
+    adj_rand, _, _ = small_graph
+    op_rand, _ = make_sharded_coo_op(
+        row_normalized_adjacency(adj_rand), mesh, pad_multiple=8,
+        exchange="auto",
+    )
+    assert op_rand.col_h is None  # fell back to all-gather
+
+
+def test_halo_model_forward_matches_single_device(small_graph, mesh):
+    from acmgnn_tpu.ops.graph import Operators, make_dense_op
+
+    adj, features, _ = small_graph
+    ops_single = Operators(adj_low=make_dense_op(row_normalized_adjacency(adj)))
+    model = ACMGNN(nhid=16, nclass=4, model_type="acmgcnp", dropout=0.0)
+    params = model.init(jax.random.key(0), jnp.asarray(features), ops_single)
+    out_single = np.asarray(model.apply(params, jnp.asarray(features), ops_single))
+
+    ops_sharded, boundaries, rpp = make_sharded_operators(
+        adj, mesh, pad_multiple=64, exchange="halo", structure_info=True
+    )
+    assert ops_sharded.adj_low.col_h is not None
+    x = shard_node_array(features, boundaries, rpp, mesh)
+    out_sharded = np.asarray(model.apply(params, x, ops_sharded))
+    out_sharded = unpad_node_array(out_sharded, boundaries, rpp)
+    np.testing.assert_allclose(out_sharded, out_single, rtol=1e-4, atol=1e-5)
