@@ -32,10 +32,16 @@ from flax import struct
 
 
 class EllBucket(struct.PyTreeNode):
-    """One degree bucket: rows with similar degree, ELL-packed."""
+    """One degree bucket: rows with similar degree, ELL-packed.
 
-    cols: jnp.ndarray   # [n_rows, K] int32, padded with 0
-    vals: jnp.ndarray   # [n_rows, K] float32, padded with 0
+    Stored pre-chunked in the scan layout ``[nchunks, n_rows, kc]``
+    (``nchunks * kc = K``) so the device never re-lays the 4-byte index
+    and value planes per SpMM call; ``nchunks == 1`` buckets skip the
+    scan entirely.
+    """
+
+    cols: jnp.ndarray   # [nchunks, n_rows, kc] int32, padded with 0
+    vals: jnp.ndarray   # [nchunks, n_rows, kc] float32, padded with 0
     # static slot-chunk size for the scan
     kc: int = struct.field(pytree_node=False)
 
@@ -80,6 +86,7 @@ def _build_half(
     bucket_ratio: float = 0.75,
     hub_threshold: int = 0,
     hub_budget_bytes: int = 512 * 1024 * 1024,
+    chunk_fetches: int = 262144,
 ) -> EllHalf:
     n = csr.shape[0]
     deg = np.diff(csr.indptr)
@@ -131,12 +138,14 @@ def _build_half(
             )
         rows = order[start:end]
         # Slot-chunk size per bucket: scale so each scan step gathers
-        # ~64k rows (wide buckets with few rows would otherwise scan
-        # hundreds of tiny steps); narrow buckets (<= kc) keep their
-        # exact width — rounding them up would multiply descriptor
-        # count for the (large) low-degree row population.
+        # ~chunk_fetches rows (wide buckets with few rows would
+        # otherwise scan hundreds of tiny steps, and each step carries
+        # dispatch overhead that idles the gather engine); narrow
+        # buckets (<= kc) keep their exact width — rounding them up
+        # would multiply descriptor count for the (large) low-degree
+        # row population.
         kc_b = kc
-        while kc_b < k_max and len(rows) * kc_b < 65536:
+        while kc_b < k_max and len(rows) * kc_b < chunk_fetches:
             kc_b *= 2
         if k_max <= kc_b:
             k_pad = max(k_max, 1)
@@ -155,8 +164,18 @@ def _build_half(
             src = np.repeat(csr.indptr[rows], counts) + slot
             cols[row_pos, slot] = csr.indices[src]
             vals[row_pos, slot] = csr.data[src]
+        # pre-chunk into the scan layout once at build time (the device
+        # used to re-transpose these planes on every SpMM call)
+        nchunks = k_pad // kc_b if k_pad > kc_b else 1
+        kc_eff = k_pad // nchunks
+        cols = cols.reshape(len(rows), nchunks, kc_eff).transpose(1, 0, 2)
+        vals = vals.reshape(len(rows), nchunks, kc_eff).transpose(1, 0, 2)
         buckets.append(
-            EllBucket(cols=jnp.asarray(cols), vals=jnp.asarray(vals), kc=kc_b)
+            EllBucket(
+                cols=jnp.asarray(np.ascontiguousarray(cols)),
+                vals=jnp.asarray(np.ascontiguousarray(vals)),
+                kc=kc_eff,
+            )
         )
         start = end
 
@@ -179,11 +198,14 @@ def make_ell_op(
     gather_dtype=jnp.float32,
     hub_threshold: int | None = None,
     bucket_ratio: float | None = None,
+    chunk_fetches: int | None = None,
 ) -> EllOp:
     import os
 
     if kc is None:
         kc = int(os.environ.get("ACMGNN_ELL_KC", "8"))
+    if chunk_fetches is None:
+        chunk_fetches = int(os.environ.get("ACMGNN_ELL_CHUNK", "262144"))
     # Default AUTO (2048): rows this dense are always cheaper as one MXU
     # matmul row than as thousands of descriptors (measured on the
     # power-law bench: 1238 -> 277 ms/epoch).  Graphs without such rows
@@ -195,9 +217,11 @@ def make_ell_op(
     csr = sp.csr_matrix(mat)
     return EllOp(
         fwd=_build_half(csr, kc, min_bucket_rows, bucket_ratio,
-                        hub_threshold=hub_threshold),
+                        hub_threshold=hub_threshold,
+                        chunk_fetches=chunk_fetches),
         bwd=_build_half(csr.T.tocsr(), kc, min_bucket_rows, bucket_ratio,
-                        hub_threshold=hub_threshold),
+                        hub_threshold=hub_threshold,
+                        chunk_fetches=chunk_fetches),
         num_nodes=csr.shape[0],
         nnz=int(csr.nnz),
         gather_dtype=gather_dtype,
@@ -210,9 +234,8 @@ def _bucket_spmm(bucket: EllBucket, x: jnp.ndarray) -> jnp.ndarray:
     ``x`` may be lower precision (bf16 gather traffic); per-chunk products
     are reduced into a float32 accumulator.
     """
-    n_rows, k = bucket.cols.shape
+    nchunks, n_rows, _ = bucket.cols.shape
     d = x.shape[1]
-    kc = bucket.kc
     cols = bucket.cols
     vals = bucket.vals.astype(x.dtype)
 
@@ -220,19 +243,15 @@ def _bucket_spmm(bucket: EllBucket, x: jnp.ndarray) -> jnp.ndarray:
         prod = jnp.take(x, c, axis=0) * v[..., None]
         return jnp.sum(prod, axis=1, dtype=jnp.float32)
 
-    if k <= kc:
-        return chunk_sum(cols, vals)
-    nchunks = k // kc
-    assert nchunks * kc == k, "bucket width must be padded to kc multiple"
-    cols_s = cols.reshape(n_rows, nchunks, kc).transpose(1, 0, 2)
-    vals_s = vals.reshape(n_rows, nchunks, kc).transpose(1, 0, 2)
+    if nchunks == 1:
+        return chunk_sum(cols[0], vals[0])
 
     def body(acc, cv):
         c, v = cv
         return acc + chunk_sum(c, v), None
 
     out, _ = jax.lax.scan(
-        body, jnp.zeros((n_rows, d), jnp.float32), (cols_s, vals_s)
+        body, jnp.zeros((n_rows, d), jnp.float32), (cols, vals)
     )
     return out
 
