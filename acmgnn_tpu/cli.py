@@ -61,6 +61,19 @@ def _add_train_args(p: argparse.ArgumentParser):
     p.add_argument("--joint", type=int, default=0,
                    help="paired train+eval loop (one 4-wide fused gather)")
     p.add_argument("--normalization", choices=["row", "sym"], default="row")
+    p.add_argument("--stepwise", action="store_true",
+                   help="per-epoch observable loop (OGB-style stats, "
+                        "display, checkpointing) instead of the fused "
+                        "while-loop runner")
+    p.add_argument("--checkpoint_dir", default="",
+                   help="save best-val weights per split; with "
+                        "--checkpoint_every also full resumable state "
+                        "(implies --stepwise)")
+    p.add_argument("--checkpoint_every", type=int, default=0,
+                   help="snapshot full training state every N epochs")
+    p.add_argument("--resume", action="store_true",
+                   help="resume each split from its last snapshot in "
+                        "--checkpoint_dir")
     p.add_argument("--sharded", type=int, default=0, metavar="N",
                    help="train over an N-device mesh (0 = single device; "
                         "-1 = all available devices)")
@@ -138,6 +151,17 @@ def cmd_train(args):
         mesh = make_graph_mesh(devices)
         out = run_experiment_sharded(
             args.dataset, cfg, mesh, logger=logger, exchange=args.exchange
+        )
+    elif args.stepwise or args.checkpoint_dir:
+        from acmgnn_tpu.train.trainer import run_experiment_stepwise
+
+        out = run_experiment_stepwise(
+            args.dataset,
+            cfg,
+            logger=logger,
+            checkpoint_dir=args.checkpoint_dir or None,
+            checkpoint_every=args.checkpoint_every,
+            resume=args.resume,
         )
     else:
         out = run_experiment(args.dataset, cfg, logger=logger)

@@ -20,6 +20,7 @@ Protocol parity (/root/reference/ACM-Pytorch/train.py:90-139,
 from __future__ import annotations
 
 import time
+from pathlib import Path
 from typing import Any, Optional
 
 import numpy as np
@@ -471,9 +472,20 @@ def run_experiment_stepwise(
     logger=None,
     display_step: int = 25,
     checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 0,
+    resume: bool = False,
 ) -> dict:
     """Observable multi-split run: per-epoch eval + OGB-style statistics
-    (test at argmax-valid), optional best-checkpoint saving."""
+    (test at argmax-valid), optional checkpointing.
+
+    Checkpointing (a capability the reference lacks, SURVEY.md §5):
+    ``checkpoint_dir`` saves the best-val weights per split;
+    ``checkpoint_every=k`` additionally snapshots the FULL training state
+    (weights + optimizer state + epoch + metric history) every k epochs
+    and at split end, and ``resume=True`` restores it and continues —
+    bit-exact with an uninterrupted run (per-epoch RNG keys are derived
+    from the epoch index, so the schedule is position-, not
+    history-dependent)."""
     from acmgnn_tpu.utils.logging import RunStats
 
     data, ops, x, labels, labels_onehot, nclass = prepare_data(dataset, cfg)
@@ -499,7 +511,48 @@ def run_experiment_stepwise(
         variables = model.init(init_key, x, ops)
         opt_state = tx.init(variables["params"])
         best_val = -np.inf
-        for epoch in range(cfg.epochs):
+        start_epoch = 0
+        last_path = hist_path = None
+        if checkpoint_dir is not None:
+            last_path = f"{checkpoint_dir}/split{idx}_last"
+            hist_path = f"{checkpoint_dir}/split{idx}_history.npy"
+        if resume and last_path is not None and Path(last_path).exists():
+            from acmgnn_tpu.utils.checkpoint import restore_checkpoint
+
+            snap = restore_checkpoint(
+                last_path,
+                template={
+                    "variables": variables,
+                    "opt_state": opt_state,
+                    "step": 0,
+                    "extra": {"best_val": 0.0},
+                },
+            )
+            variables = snap["variables"]
+            opt_state = snap["opt_state"]
+            start_epoch = int(snap["step"])
+            best_val = float(snap["extra"]["best_val"])
+            for row in np.load(hist_path)[:start_epoch]:
+                stats.add_result(idx, tuple(row))
+            if logger is not None:
+                logger.info(
+                    "split %d: resumed at epoch %d (best val %.4f)",
+                    idx, start_epoch, best_val,
+                )
+
+        def save_state(epochs_done):
+            from acmgnn_tpu.utils.checkpoint import save_checkpoint
+
+            save_checkpoint(
+                last_path,
+                variables,
+                opt_state=opt_state,
+                step=epochs_done,
+                extra={"best_val": float(best_val)},
+            )
+            np.save(hist_path, np.asarray(stats.results[idx], np.float64))
+
+        for epoch in range(start_epoch, cfg.epochs):
             ekey = jax.random.fold_in(run_key, epoch)
             variables, opt_state, loss = train_epoch(
                 variables, opt_state, ekey, ops, x, labels, labels_onehot,
@@ -531,6 +584,14 @@ def run_experiment_stepwise(
                     float(ev["val_metric"]),
                     float(ev["test_metric"]),
                 )
+            if (
+                checkpoint_every
+                and last_path is not None
+                and (epoch + 1) % checkpoint_every == 0
+            ):
+                save_state(epoch + 1)
+        if checkpoint_every and last_path is not None and start_epoch < cfg.epochs:
+            save_state(cfg.epochs)
 
     summary = stats.summary()
     elapsed = time.time() - t_total

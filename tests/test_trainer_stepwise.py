@@ -36,3 +36,53 @@ def test_stepwise_checkpointing(tmp_path):
     restored = restore_checkpoint(str(tmp_path / "split0_best"))
     assert "variables" in restored and "extra" in restored
     assert 0 <= float(restored["extra"]["val_metric"]) <= 1
+
+
+def test_checkpoint_resume_matches_uninterrupted(tmp_path):
+    """3 epochs + resume-to-6 == one 6-epoch run (weights, opt state, and
+    metric history all restored; per-epoch RNG is position-derived)."""
+    import dataclasses
+
+    cfg6 = TrainConfig(
+        model_type="acmgcn",
+        hidden=16,
+        epochs=6,
+        early_stopping=0,
+        num_splits=1,
+        fixed_splits=True,
+        dropout=0.4,
+    )
+    full = run_experiment_stepwise("texas", cfg6)
+
+    cfg3 = dataclasses.replace(cfg6, epochs=3)
+    ckpt = str(tmp_path / "ck")
+    run_experiment_stepwise(
+        "texas", cfg3, checkpoint_dir=ckpt, checkpoint_every=1
+    )
+    resumed = run_experiment_stepwise(
+        "texas", cfg6, checkpoint_dir=ckpt, checkpoint_every=1, resume=True
+    )
+    assert np.isclose(resumed["test_mean"], full["test_mean"], atol=1e-6)
+    assert np.isclose(resumed["valid_mean"], full["valid_mean"], atol=1e-6)
+
+
+def test_resume_skips_completed_split(tmp_path):
+    """Resuming at epochs == target re-runs nothing but reproduces the
+    summary from the restored history."""
+    cfg = TrainConfig(
+        model_type="acmgcn",
+        hidden=16,
+        epochs=4,
+        early_stopping=0,
+        num_splits=1,
+        fixed_splits=True,
+    )
+    ckpt = str(tmp_path / "ck")
+    first = run_experiment_stepwise(
+        "texas", cfg, checkpoint_dir=ckpt, checkpoint_every=2
+    )
+    again = run_experiment_stepwise(
+        "texas", cfg, checkpoint_dir=ckpt, checkpoint_every=2, resume=True
+    )
+    assert np.isclose(again["test_mean"], first["test_mean"], atol=1e-6)
+    assert again["runtime_s"] < first["runtime_s"]
