@@ -37,14 +37,25 @@ def main():
     # class as the ELL pass, no slot machinery)
     cols_flat = jnp.asarray(a_hat.tocsr().indices.astype(np.int32))
 
-    def timeit(f, x, repeats=8):
-        out = f(x)
-        jax.device_get(jnp.sum(out.astype(jnp.float32)))  # compile+warm
+    def timeit_chain(f, x, repeats=8):
+        """Shape-preserving f: chain calls so each is unique work."""
+        jax.device_get(jnp.sum(f(x).astype(jnp.float32)))  # compile+warm
         t0 = time.perf_counter()
         acc = x
         for _ in range(repeats):
             acc = f(acc).astype(x.dtype)[: x.shape[0]]
         jax.device_get(jnp.sum(acc.astype(jnp.float32)))
+        return 1000.0 * (time.perf_counter() - t0) / repeats
+
+    def timeit_unique(f, x, repeats=8):
+        """Reducing f: feed scaled copies so the remote backend cannot
+        dedup; the device stream serializes them, sync once at the end."""
+        xs = [x * (1.0 + 1e-6 * (i + 1)) for i in range(repeats)]
+        jax.device_get(f(x))  # compile+warm
+        t0 = time.perf_counter()
+        outs = [f(xi) for xi in xs]
+        jax.device_get(outs[-1])
+        jax.block_until_ready(outs)
         return 1000.0 * (time.perf_counter() - t0) / repeats
 
     for d, dtype, tag in (
@@ -56,12 +67,18 @@ def main():
             rng.normal(size=(n, d)).astype(np.float32)
         ).astype(dtype)
 
-        raw = jax.jit(lambda x_: jnp.take(x_, cols_flat, axis=0))
-        # raw gather output is [nnz, d] — chain by slicing back to n rows
-        ms_raw = timeit(raw, x)
+        # gather fused into a reduction: the [nnz, d] intermediate never
+        # hits HBM, so this times fetch traffic alone (the floor)
+        raw = jax.jit(
+            lambda x_: jnp.sum(
+                jnp.take(x_, cols_flat, axis=0), axis=0,
+                dtype=jnp.float32,
+            )
+        )
+        ms_raw = timeit_unique(raw, x)
 
         ell = jax.jit(lambda x_: _half_spmm(op.fwd, x_))
-        ms_ell = timeit(ell, x)
+        ms_ell = timeit_chain(ell, x)
         rate_raw = nnz / ms_raw * 1000 / 1e6
         rate_ell = nnz / ms_ell * 1000 / 1e6
         print(
