@@ -38,12 +38,24 @@ class EllBucket(struct.PyTreeNode):
     (``nchunks * kc = K``) so the device never re-lays the 4-byte index
     and value planes per SpMM call; ``nchunks == 1`` buckets skip the
     scan entirely.
+
+    ``block > 1`` selects the block-column layout: each slot addresses a
+    BLOCK of ``block`` adjacent columns (one gather descriptor fetches
+    ``block`` rows of the operand), ``cols`` holds block ids
+    (``col // block``) and ``vals`` grows a trailing ``[block]`` axis of
+    per-column weights (zero where the block position is absent).  The
+    gather is descriptor-bound on TPU, so on graphs with column locality
+    (post-RCM banded/community graphs) this divides descriptor count by
+    the mean block occupancy at the cost of ``block``-times-wider
+    fetches.
     """
 
     cols: jnp.ndarray   # [nchunks, n_rows, kc] int32, padded with 0
-    vals: jnp.ndarray   # [nchunks, n_rows, kc] float32, padded with 0
+    vals: jnp.ndarray   # [nchunks, n_rows, kc(, block)] float32, 0-padded
     # static slot-chunk size for the scan
     kc: int = struct.field(pytree_node=False)
+    # static column-block size (1 = plain ELL)
+    block: int = struct.field(pytree_node=False, default=1)
 
 
 class EllHalf(struct.PyTreeNode):
@@ -81,17 +93,69 @@ class EllOp(struct.PyTreeNode):
     gather_dtype: Any = struct.field(pytree_node=False, default=jnp.float32)
 
 
+def block_occupancy(csr: sp.csr_matrix, block: int) -> float:
+    """Mean nnz per distinct (row, column-block) pair.
+
+    This is the descriptor-count divisor the block-column layout buys:
+    occupancy ~1 on uniform-random graphs (block layout loses — it
+    fetches ``block``x the bytes for the same descriptor count), >=3 on
+    banded / community-ordered graphs (clear win).
+    """
+    if csr.nnz == 0:
+        return 1.0
+    csr = csr.sorted_indices() if not csr.has_sorted_indices else csr
+    deg = np.diff(csr.indptr)
+    row_of = np.repeat(np.arange(csr.shape[0]), deg)
+    bid = csr.indices // block
+    new = np.empty(csr.nnz, bool)
+    new[0] = True
+    new[1:] = (bid[1:] != bid[:-1]) | (row_of[1:] != row_of[:-1])
+    return csr.nnz / int(new.sum())
+
+
 def _build_half(
     csr: sp.csr_matrix, kc: int, min_bucket_rows: int,
     bucket_ratio: float = 0.75,
     hub_threshold: int = 0,
     hub_budget_bytes: int = 512 * 1024 * 1024,
     chunk_fetches: int = 262144,
+    block: int = 1,
 ) -> EllHalf:
     n = csr.shape[0]
     deg = np.diff(csr.indptr)
-    order = np.argsort(-deg, kind="stable")  # high degree first
-    sorted_deg = deg[order]
+
+    if block > 1:
+        # Block-column layout: slots address column BLOCKS.  Per-nnz
+        # slot bookkeeping (vectorized): a new slot starts wherever the
+        # (row, col // block) pair changes along the CSR order.
+        if not csr.has_sorted_indices:
+            csr = csr.sorted_indices()
+        row_of = np.repeat(np.arange(n), deg)
+        bid_e = csr.indices // block
+        off_e = csr.indices % block
+        new = np.empty(max(csr.nnz, 1), bool)
+        new[0] = True
+        if csr.nnz > 1:
+            new[1:csr.nnz] = (bid_e[1:] != bid_e[:-1]) | (
+                row_of[1:] != row_of[:-1]
+            )
+        slot_gid = np.cumsum(new[: csr.nnz]) - 1
+        kdeg = np.bincount(row_of[new[: csr.nnz]], minlength=n) \
+            if csr.nnz else np.zeros(n, np.int64)
+        first_slot = np.cumsum(kdeg) - kdeg
+        slot_pos_e = slot_gid - first_slot[row_of]
+        # scan-chunk budget in raw-fetch equivalents (each slot fetches
+        # ``block`` operand rows)
+        chunk_fetches = max(chunk_fetches // block, kc)
+        # hub economics change too: one block slot does ``block``
+        # descriptors' worth of plain-ELL work
+        if hub_threshold > 0:
+            hub_threshold = max(hub_threshold // block, 2)
+    else:
+        kdeg = deg
+
+    order = np.argsort(-kdeg, kind="stable")  # high (block-)degree first
+    sorted_deg = kdeg[order]
     nz_rows = int((sorted_deg > 0).sum())
 
     # Dense hub block: rows with degree >= hub_threshold (0 disables),
@@ -152,29 +216,39 @@ def _build_half(
         else:
             k_pad = -(-k_max // kc_b) * kc_b
         cols = np.zeros((len(rows), k_pad), np.int32)
-        vals = np.zeros((len(rows), k_pad), np.float32)
         # vectorized ELL packing: flatten (row, slot) targets for all nnz
         counts = deg[rows]
         total = int(counts.sum())
-        if total:
-            row_pos = np.repeat(np.arange(len(rows)), counts)
-            slot = np.arange(total) - np.repeat(
-                np.cumsum(counts) - counts, counts
-            )
-            src = np.repeat(csr.indptr[rows], counts) + slot
-            cols[row_pos, slot] = csr.indices[src]
-            vals[row_pos, slot] = csr.data[src]
+        row_pos = np.repeat(np.arange(len(rows)), counts)
+        within = np.arange(total) - np.repeat(
+            np.cumsum(counts) - counts, counts
+        )
+        src = np.repeat(csr.indptr[rows], counts) + within
+        if block > 1:
+            vals = np.zeros((len(rows), k_pad, block), np.float32)
+            if total:
+                spos = slot_pos_e[src]
+                cols[row_pos, spos] = bid_e[src]
+                vals[row_pos, spos, off_e[src]] = csr.data[src]
+        else:
+            vals = np.zeros((len(rows), k_pad), np.float32)
+            if total:
+                cols[row_pos, within] = csr.indices[src]
+                vals[row_pos, within] = csr.data[src]
         # pre-chunk into the scan layout once at build time (the device
         # used to re-transpose these planes on every SpMM call)
         nchunks = k_pad // kc_b if k_pad > kc_b else 1
         kc_eff = k_pad // nchunks
         cols = cols.reshape(len(rows), nchunks, kc_eff).transpose(1, 0, 2)
-        vals = vals.reshape(len(rows), nchunks, kc_eff).transpose(1, 0, 2)
+        vals = vals.reshape(
+            (len(rows), nchunks, kc_eff) + vals.shape[2:]
+        ).transpose((1, 0, 2) + ((3,) if block > 1 else ()))
         buckets.append(
             EllBucket(
                 cols=jnp.asarray(np.ascontiguousarray(cols)),
                 vals=jnp.asarray(np.ascontiguousarray(vals)),
                 kc=kc_eff,
+                block=block,
             )
         )
         start = end
@@ -199,6 +273,8 @@ def make_ell_op(
     hub_threshold: int | None = None,
     bucket_ratio: float | None = None,
     chunk_fetches: int | None = None,
+    block: int | None = None,
+    block_min_occupancy: float | None = None,
 ) -> EllOp:
     import os
 
@@ -214,14 +290,33 @@ def make_ell_op(
         hub_threshold = int(os.environ.get("ACMGNN_ELL_HUB", "2048"))
     if bucket_ratio is None:
         bucket_ratio = float(os.environ.get("ACMGNN_ELL_RATIO", "0.75"))
+    # Block-column layout: default OFF — measured SLOWER on this
+    # backend even at occupancy 4.8 (banded scenario: 282 vs 205
+    # ms/epoch), because the gather engine runs at full descriptor rate
+    # only for <=128-column operands and any useful block crosses that
+    # (PERF.md "gather-width cliff").  Kept as an expert knob: -1 =
+    # occupancy-based auto, >1 = force size.
+    if block is None:
+        block = int(os.environ.get("ACMGNN_ELL_BLOCK", "1"))
+    if block_min_occupancy is None:
+        block_min_occupancy = float(
+            os.environ.get("ACMGNN_ELL_BLOCK_OCC", "3.0")
+        )
     csr = sp.csr_matrix(mat)
+    csr.sort_indices()
+    if block < 0:
+        cand = 8
+        occ = block_occupancy(csr, cand)
+        block = cand if occ >= block_min_occupancy else 1
+    block = max(block, 1)
+    build = lambda m: _build_half(  # noqa: E731
+        m, kc, min_bucket_rows, bucket_ratio,
+        hub_threshold=hub_threshold, chunk_fetches=chunk_fetches,
+        block=block,
+    )
     return EllOp(
-        fwd=_build_half(csr, kc, min_bucket_rows, bucket_ratio,
-                        hub_threshold=hub_threshold,
-                        chunk_fetches=chunk_fetches),
-        bwd=_build_half(csr.T.tocsr(), kc, min_bucket_rows, bucket_ratio,
-                        hub_threshold=hub_threshold,
-                        chunk_fetches=chunk_fetches),
+        fwd=build(csr),
+        bwd=build(csr.T.tocsr()),
         num_nodes=csr.shape[0],
         nnz=int(csr.nnz),
         gather_dtype=gather_dtype,
@@ -232,16 +327,31 @@ def _bucket_spmm(bucket: EllBucket, x: jnp.ndarray) -> jnp.ndarray:
     """Scatter-free aggregation for one bucket: scan over slot chunks.
 
     ``x`` may be lower precision (bf16 gather traffic); per-chunk products
-    are reduced into a float32 accumulator.
+    are reduced into a float32 accumulator.  Block-column buckets gather
+    ``block`` operand rows per descriptor (one fused row of the
+    ``[N/block, block*d]`` view) and reduce over the extra axis.
     """
     nchunks, n_rows, _ = bucket.cols.shape
     d = x.shape[1]
     cols = bucket.cols
     vals = bucket.vals.astype(x.dtype)
+    blk = bucket.block
 
-    def chunk_sum(c, v):
-        prod = jnp.take(x, c, axis=0) * v[..., None]
-        return jnp.sum(prod, axis=1, dtype=jnp.float32)
+    if blk > 1:
+        n_pad = -(-x.shape[0] // blk) * blk
+        xb = jnp.pad(x, ((0, n_pad - x.shape[0]), (0, 0))).reshape(
+            n_pad // blk, blk * d
+        )
+
+        def chunk_sum(c, v):
+            g = jnp.take(xb, c, axis=0).reshape(n_rows, -1, blk, d)
+            return jnp.sum(g * v[..., None], axis=(1, 2),
+                           dtype=jnp.float32)
+    else:
+
+        def chunk_sum(c, v):
+            prod = jnp.take(x, c, axis=0) * v[..., None]
+            return jnp.sum(prod, axis=1, dtype=jnp.float32)
 
     if nchunks == 1:
         return chunk_sum(cols[0], vals[0])

@@ -303,6 +303,7 @@ def precompute_operators(
     dense_threshold: int = DEFAULT_DENSE_THRESHOLD,
     spmm_dtype=None,                  # e.g. jnp.bfloat16: halve ELL gather traffic
     ell_hub_threshold: int | None = None,  # dense-row hybrid for hub rows
+    ell_block: int | None = None,     # block-column ELL (-1 auto; 1 off)
 ) -> Operators:
     """Build the device operator bundle from a raw adjacency matrix."""
     adj = sp.csr_matrix(adj)
@@ -332,7 +333,8 @@ def precompute_operators(
     elif fmt == "ell":
         from acmgnn_tpu.ops.ell import make_ell_op
 
-        make = partial(make_ell_op, hub_threshold=ell_hub_threshold)
+        make = partial(make_ell_op, hub_threshold=ell_hub_threshold,
+                       block=ell_block)
         if spmm_dtype is not None:
             make = partial(make, gather_dtype=spmm_dtype)
     else:

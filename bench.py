@@ -63,6 +63,26 @@ def _powerlaw_scale_graph(seed=0, alpha=0.6):
     return adj, features, labels
 
 
+def _banded_scale_graph(seed=0, halfwidth=64):
+    """Column-local stand-in: same N/E as twitch-gamers but neighbors
+    within a +-halfwidth band — the shape a community/mesh graph has
+    after RCM reordering.  Exercises the block-column ELL layout (block
+    occupancy ~4.8 at halfwidth 64), which uniform-random edges cannot
+    (occupancy ~1.07)."""
+    from acmgnn_tpu.ops.native import build_sym_adjacency
+
+    rng = np.random.default_rng(seed)
+    n = 168_114
+    e = 6_797_557
+    src = rng.integers(0, n, size=e, dtype=np.int64)
+    off = rng.integers(-halfwidth, halfwidth + 1, size=e)
+    dst = np.clip(src + off, 0, n - 1).astype(np.int64)
+    adj = build_sym_adjacency(src, dst, n)
+    features = rng.normal(size=(n, 7)).astype(np.float32)
+    labels = (rng.random(n) < 0.5).astype(np.int32)
+    return adj, features, labels
+
+
 def bench_epoch_twitch_scale(epochs=30, warmup=5, graph="uniform",
                              hub_threshold=0):
     import jax
@@ -78,6 +98,8 @@ def bench_epoch_twitch_scale(epochs=30, warmup=5, graph="uniform",
 
     if graph == "powerlaw":
         adj, features, labels = _powerlaw_scale_graph()
+    elif graph == "banded":
+        adj, features, labels = _banded_scale_graph()
     else:
         adj, features, labels = _twitch_gamers_scale_graph()
     data = GraphData(name=f"twitch-gamers-scale-{graph}", adj=adj,
@@ -103,6 +125,7 @@ def bench_epoch_twitch_scale(epochs=30, warmup=5, graph="uniform",
         operator_format="ell",
         reorder=os.environ.get("ACMGNN_BENCH_REORDER", "none"),
         ell_hub_threshold=hub_threshold,
+        ell_block=int(os.environ.get("ACMGNN_BENCH_BLOCK", "1")),
         spmm_dtype=os.environ.get("ACMGNN_BENCH_DTYPE", "bfloat16"),
         joint=os.environ.get("ACMGNN_BENCH_JOINT", "1") == "1",
     )
@@ -153,7 +176,7 @@ def bench_epoch_twitch_scale(epochs=30, warmup=5, graph="uniform",
     }
 
 
-def bench_spmm(repeats=50):
+def bench_spmm(repeats=50, fmt="ell"):
     import jax
     import jax.numpy as jnp
 
@@ -161,7 +184,13 @@ def bench_spmm(repeats=50):
     from acmgnn_tpu.ops.spmm import spmm
 
     adj, features, _ = _twitch_gamers_scale_graph()
-    op = make_coo_op(row_normalized_adjacency(adj))
+    a_hat = row_normalized_adjacency(adj)
+    if fmt == "ell":
+        from acmgnn_tpu.ops.ell import make_ell_op
+
+        op = make_ell_op(a_hat)
+    else:
+        op = make_coo_op(a_hat)
     x = jnp.asarray(
         np.random.default_rng(0).normal(size=(adj.shape[0], 64)).astype(np.float32)
     )
@@ -266,7 +295,8 @@ def main():
     p.add_argument(
         "--scenario",
         default="epoch",
-        choices=["epoch", "epoch_powerlaw", "spmm", "texas", "scaling"],
+        choices=["epoch", "epoch_powerlaw", "epoch_banded", "spmm",
+                 "texas", "scaling"],
     )
     p.add_argument("--hub_threshold", type=int, default=0)
     args = p.parse_args()
@@ -275,6 +305,10 @@ def main():
     elif args.scenario == "epoch_powerlaw":
         result = bench_epoch_twitch_scale(
             graph="powerlaw", hub_threshold=args.hub_threshold
+        )
+    elif args.scenario == "epoch_banded":
+        result = bench_epoch_twitch_scale(
+            graph="banded", hub_threshold=args.hub_threshold
         )
     elif args.scenario == "spmm":
         result = bench_spmm()

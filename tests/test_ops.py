@@ -275,3 +275,105 @@ def test_ell_hub_all_rows_dense():
     got = np.asarray(ell_spmm(op, x))
     want = np.asarray(mat.todense()).astype(np.float32) @ np.asarray(x)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def _banded_matrix(n=400, halfwidth=10, per_row=6, seed=5):
+    """Column-local graph: neighbors within a +-halfwidth band (the
+    post-RCM shape the block-column layout targets)."""
+    rng = np.random.default_rng(seed)
+    rows, cols = [], []
+    for i in range(n):
+        js = np.clip(i + rng.integers(-halfwidth, halfwidth + 1, per_row),
+                     0, n - 1)
+        rows.extend([i] * per_row)
+        cols.extend(js.tolist())
+    mat = sp.csr_matrix(
+        (rng.random(len(rows)).astype(np.float32), (rows, cols)),
+        shape=(n, n),
+    )
+    mat.sum_duplicates()
+    return mat
+
+
+def test_ell_block_column_matches_dense():
+    """Forced block-column layout == dense math on banded, random and
+    power-law (hub-carrying) matrices, fwd + VJP."""
+    from acmgnn_tpu.ops.ell import ell_spmm, make_ell_op
+
+    cases = [
+        (_banded_matrix(), dict(block=8)),
+        (_banded_matrix(), dict(block=16, hub_threshold=1_000_000)),
+        (_powerlaw_matrix(), dict(block=8, kc=4, min_bucket_rows=16)),
+        (_powerlaw_matrix(), dict(block=4, hub_threshold=32)),
+    ]
+    for mat, kw in cases:
+        op = make_ell_op(mat, **kw)
+        blk = max(
+            (b.block for h in (op.fwd, op.bwd) for b in h.buckets),
+            default=1,
+        )
+        assert blk == kw["block"], kw
+        x = jnp.asarray(
+            np.random.default_rng(0)
+            .normal(size=(mat.shape[0], 20))
+            .astype(np.float32)
+        )
+        dense = jnp.asarray(np.asarray(mat.todense()).astype(np.float32))
+        np.testing.assert_allclose(
+            np.asarray(ell_spmm(op, x)),
+            np.asarray(dense @ x),
+            rtol=2e-4,
+            atol=1e-4,
+        )
+
+        def loss(x_, op=op):
+            return jnp.sum(jnp.sin(ell_spmm(op, x_)))
+
+        def loss_ref(x_, dense=dense):
+            return jnp.sum(jnp.sin(dense @ x_))
+
+        np.testing.assert_allclose(
+            np.asarray(jax.grad(loss)(x)),
+            np.asarray(jax.grad(loss_ref)(x)),
+            rtol=2e-4,
+            atol=1e-4,
+        )
+
+
+def test_ell_block_auto_selection():
+    """Occupancy auto (-1): block on for high-occupancy (banded)
+    operators, off for uniform-random ones; the DEFAULT is plain ELL
+    (block measured slower on the current backend — PERF.md)."""
+    from acmgnn_tpu.ops.ell import block_occupancy, make_ell_op
+
+    banded = _banded_matrix(n=600, halfwidth=4, per_row=12)
+    assert block_occupancy(banded, 8) >= 3.0
+    op = make_ell_op(banded, block=-1)
+    assert all(b.block == 8 for b in op.fwd.buckets)
+    op = make_ell_op(banded)  # default: off
+    assert all(b.block == 1 for b in op.fwd.buckets)
+
+    rnd = sp.random(600, 600, density=0.01, random_state=3, format="csr")
+    assert block_occupancy(sp.csr_matrix(rnd), 8) < 1.5
+    op = make_ell_op(sp.csr_matrix(rnd.astype(np.float32)), block=-1)
+    assert all(b.block == 1 for b in op.fwd.buckets)
+
+
+def test_ell_block_under_jit_and_model(small_graph):
+    """Block-column operators must ride through the jitted model."""
+    from acmgnn_tpu.models.models import ACMGNN
+    from acmgnn_tpu.ops.graph import precompute_operators
+
+    adj, features, _ = small_graph
+    ops = precompute_operators(adj, fmt="ell", ell_block=4)
+    ops_ref = precompute_operators(adj, fmt="dense")
+    x = jnp.asarray(features)
+    model = ACMGNN(nhid=8, nclass=3, model_type="acmgcn", dropout=0.0)
+    variables = model.init(jax.random.key(0), x, ops)
+    out = jax.jit(lambda v, x_: model.apply(v, x_, ops))(variables, x)
+    np.testing.assert_allclose(
+        np.asarray(out),
+        np.asarray(model.apply(variables, x, ops_ref)),
+        rtol=2e-4,
+        atol=1e-4,
+    )
