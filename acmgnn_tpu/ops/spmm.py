@@ -77,11 +77,18 @@ def spmm(op: SparseOp, x: jnp.ndarray) -> jnp.ndarray:
         return _coo_spmm(op, x)
     if isinstance(op, EllOp):
         return ell_spmm(op, x)
-    # Sharded multi-chip operator — imported lazily to avoid a cycle.
-    from acmgnn_tpu.parallel.sharded import ShardedCooOp, sharded_spmm
+    # Sharded multi-chip operators — imported lazily to avoid a cycle.
+    from acmgnn_tpu.parallel.sharded import (
+        ShardedCooOp,
+        ShardedEllOp,
+        sharded_ell_spmm,
+        sharded_spmm,
+    )
 
     if isinstance(op, ShardedCooOp):
         return sharded_spmm(op, x, op.mesh)
+    if isinstance(op, ShardedEllOp):
+        return sharded_ell_spmm(op, x, op.mesh)
     raise TypeError(f"unsupported operator type: {type(op)!r}")
 
 
@@ -105,11 +112,28 @@ def spmm_transpose(op: SparseOp, g: jnp.ndarray) -> jnp.ndarray:
         return _coo_matvec_rows(op.row_t, op.col_t, op.val_t, g, op.num_nodes)
     if isinstance(op, EllOp):
         return _half_spmm(op.bwd, g.astype(op.gather_dtype))
-    from acmgnn_tpu.parallel.sharded import ShardedCooOp, _spmm_shardmap
+    from acmgnn_tpu.parallel.sharded import (
+        ShardedCooOp,
+        ShardedEllOp,
+        _spmm_shardmap,
+        _spmm_shardmap_ell,
+        _spmm_shardmap_ell_halo,
+    )
 
     if isinstance(op, ShardedCooOp):
         return _spmm_shardmap(
             op.row_l_t, op.col_t, op.val_t, g, op.mesh, op.rows_per_part
+        )
+    if isinstance(op, ShardedEllOp):
+        if op.send_idx_t is not None:
+            return _spmm_shardmap_ell_halo(
+                op.cls_cols_t, op.cls_vals_t, op.cls_kc_t, op.inv_perm_t,
+                op.send_idx_t, g, op.mesh, op.rows_per_part,
+                op.halo_pad_t, op.gather_dtype,
+            )
+        return _spmm_shardmap_ell(
+            op.cls_cols_t, op.cls_vals_t, op.cls_kc_t, op.inv_perm_t, g,
+            op.mesh, op.rows_per_part, op.gather_dtype,
         )
     raise TypeError(f"unsupported operator type: {type(op)!r}")
 

@@ -144,6 +144,7 @@ def make_sharded_operators(
     structure_info: bool = False,
     pad_multiple: int = 512,
     exchange: str = "allgather",
+    fmt: str = "ell",
 ):
     """Sharded counterpart of ``ops.graph.precompute_operators``.
 
@@ -151,7 +152,9 @@ def make_sharded_operators(
     placed with ``shard_node_array(arr, boundaries, rows_per_part, mesh)``.
     ``exchange`` selects the SpMM communication pattern (see
     ``make_sharded_coo_op``): full all-gather, dedup'd boundary halo
-    all_to_all, or auto by exchanged volume.
+    all_to_all, or auto by exchanged volume.  ``fmt`` selects the local
+    aggregation format: ``"ell"`` (scatter-free bucketed ELL — the
+    single-chip perf format, default) or ``"coo"`` (segment-sum).
     """
     from acmgnn_tpu.ops.graph import (
         Operators,
@@ -166,13 +169,12 @@ def make_sharded_operators(
     else:
         raise ValueError(f"unknown normalization: {normalization!r}")
 
-    op_low, boundaries = make_sharded_coo_op(
-        adj_low, mesh, pad_multiple, exchange=exchange
-    )
+    make = make_sharded_ell_op if fmt == "ell" else make_sharded_coo_op
+    op_low, boundaries = make(adj_low, mesh, pad_multiple, exchange=exchange)
     adj_unnorm_op = None
     if structure_info:
         # Share A_hat's partition so all node activations line up.
-        adj_unnorm_op, _ = make_sharded_coo_op(
+        adj_unnorm_op, _ = make(
             adj, mesh, pad_multiple, boundaries=boundaries, exchange=exchange
         )
     return (
@@ -180,6 +182,213 @@ def make_sharded_operators(
         boundaries,
         op_low.rows_per_part,
     )
+
+
+class ShardedEllOp(struct.PyTreeNode):
+    """Row-partitioned bucketed-ELL operator (+ transpose).
+
+    The multi-chip counterpart of ``ops.ell.EllOp``: per-device
+    scatter-free aggregation (gather + dense slot-sum — ~2.7x over the
+    COO segment-sum on TPU, PERF.md) under the same exchange patterns as
+    ``ShardedCooOp`` (full feature all-gather, or the dedup'd boundary
+    halo all_to_all when a schedule is present).  Plane shapes are
+    identical across devices (power-of-two degree classes padded to the
+    max row count per class — ``partition.build_sharded_ell``), so the
+    shard_map program is uniform.
+    """
+
+    cls_cols: tuple        # per class: [P, nchunks, n_rows, kc] int32
+    cls_vals: tuple        # per class: [P, nchunks, n_rows, kc] float32
+    inv_perm: jnp.ndarray  # [P, rows_per_part] into per-device concat
+    cls_cols_t: tuple
+    cls_vals_t: tuple
+    inv_perm_t: jnp.ndarray
+    cls_kc: tuple = struct.field(pytree_node=False)
+    cls_kc_t: tuple = struct.field(pytree_node=False)
+    rows_per_part: int = struct.field(pytree_node=False)
+    num_nodes: int = struct.field(pytree_node=False)
+    nnz: int = struct.field(pytree_node=False)
+    mesh: Mesh = struct.field(pytree_node=False, default=None)
+    # halo exchange (None => full all-gather); columns are then in the
+    # concat space [own block | halo slabs] (partition.build_halo_schedule)
+    send_idx: jnp.ndarray = None     # [P(owner), P(dest), halo_pad]
+    send_idx_t: jnp.ndarray = None
+    halo_pad: int = struct.field(pytree_node=False, default=0)
+    halo_pad_t: int = struct.field(pytree_node=False, default=0)
+    gather_dtype: object = struct.field(
+        pytree_node=False, default=jnp.float32
+    )
+
+    @property
+    def padded_nodes(self) -> int:
+        return self.inv_perm.shape[0] * self.rows_per_part
+
+
+def make_sharded_ell_op(
+    adj_op,
+    mesh: Mesh,
+    pad_multiple: int = 512,
+    boundaries=None,
+    exchange: str = "allgather",
+    gather_dtype=jnp.float32,
+):
+    """Host-side build + placement of a sharded bucketed-ELL operator.
+
+    Same partition/exchange semantics as ``make_sharded_coo_op``; the
+    local aggregation format is the scatter-free bucketed ELL.
+    """
+    from acmgnn_tpu.parallel.partition import build_sharded_ell
+
+    if exchange not in ("allgather", "halo", "auto"):
+        raise ValueError(f"unknown exchange mode: {exchange!r}")
+    n_parts = mesh.devices.size
+    blocks = build_sharded_coo(
+        adj_op, n_parts, pad_multiple=pad_multiple, boundaries=boundaries
+    )
+    rpp = int(blocks["rows_per_part"])
+    halo = {}
+    if exchange in ("halo", "auto") and n_parts > 1:
+        sched = build_halo_schedule(blocks)
+        halo_vol = n_parts * max(sched["halo_pad"], sched["halo_pad_t"])
+        allgather_vol = (n_parts - 1) * rpp
+        if exchange == "halo" or halo_vol < 0.5 * allgather_vol:
+            halo = sched
+    if halo:
+        blocks = dict(blocks, col_h=halo["col_h"], col_h_t=halo["col_h_t"])
+        fwd = build_sharded_ell(
+            blocks, col_key="col_h",
+            n_cols=rpp + n_parts * int(halo["halo_pad"]),
+        )
+        bwd = build_sharded_ell(
+            blocks, col_key="col_h_t", row_key="row_l_t", val_key="val_t",
+            n_cols=rpp + n_parts * int(halo["halo_pad_t"]),
+        )
+    else:
+        fwd = build_sharded_ell(blocks)
+        bwd = build_sharded_ell(
+            blocks, col_key="col_t", row_key="row_l_t", val_key="val_t"
+        )
+    shard = NamedSharding(mesh, P(GRAPH_AXIS))
+    dev = lambda a: jax.device_put(jnp.asarray(a), shard)  # noqa: E731
+    return ShardedEllOp(
+        cls_cols=tuple(dev(c) for c, _, _ in fwd["classes"]),
+        cls_vals=tuple(dev(v) for _, v, _ in fwd["classes"]),
+        inv_perm=dev(fwd["inv_perm"]),
+        cls_cols_t=tuple(dev(c) for c, _, _ in bwd["classes"]),
+        cls_vals_t=tuple(dev(v) for _, v, _ in bwd["classes"]),
+        inv_perm_t=dev(bwd["inv_perm"]),
+        cls_kc=tuple(k for _, _, k in fwd["classes"]),
+        cls_kc_t=tuple(k for _, _, k in bwd["classes"]),
+        rows_per_part=rpp,
+        num_nodes=int(blocks["num_nodes"]),
+        nnz=int(blocks["nnz"]),
+        mesh=mesh,
+        send_idx=dev(halo["send_idx"]) if halo else None,
+        send_idx_t=dev(halo["send_idx_t"]) if halo else None,
+        halo_pad=int(halo["halo_pad"]) if halo else 0,
+        halo_pad_t=int(halo["halo_pad_t"]) if halo else 0,
+        gather_dtype=gather_dtype,
+    ), blocks["boundaries"]
+
+
+def _local_ell_aggregate(cls_cols, cls_vals, cls_kc, inv_perm, x_cat,
+                         rows_per_part):
+    """Per-device scatter-free aggregation over the class planes."""
+    from acmgnn_tpu.ops.ell import EllBucket, _bucket_spmm
+
+    parts = [
+        _bucket_spmm(EllBucket(cols=c[0], vals=v[0], kc=kc), x_cat)
+        for c, v, kc in zip(cls_cols, cls_vals, cls_kc)
+    ]
+    parts.append(jnp.zeros((1, x_cat.shape[1]), jnp.float32))
+    concat = jnp.concatenate(parts, axis=0)
+    return jnp.take(concat, inv_perm[0], axis=0)
+
+
+def _spmm_shardmap_ell(cls_cols, cls_vals, cls_kc, inv_perm, x, mesh,
+                       rows_per_part, gather_dtype):
+    def body(cls_cols, cls_vals, inv_perm, x_block):
+        x_full = jax.lax.all_gather(
+            x_block.astype(gather_dtype), GRAPH_AXIS, axis=0, tiled=True
+        )
+        return _local_ell_aggregate(
+            cls_cols, cls_vals, cls_kc, inv_perm, x_full, rows_per_part
+        )
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(GRAPH_AXIS), P(GRAPH_AXIS), P(GRAPH_AXIS),
+                  P(GRAPH_AXIS, None)),
+        out_specs=P(GRAPH_AXIS, None),
+    )(cls_cols, cls_vals, inv_perm, x)
+
+
+def _spmm_shardmap_ell_halo(cls_cols, cls_vals, cls_kc, inv_perm, send_idx,
+                            x, mesh, rows_per_part, halo_pad, gather_dtype):
+    def body(cls_cols, cls_vals, inv_perm, send_idx, x_block):
+        send_idx = send_idx[0]  # [P, halo_pad]
+        n_parts = send_idx.shape[0]
+        xs = x_block.astype(gather_dtype)
+        send = jnp.take(xs, send_idx.reshape(-1), axis=0)
+        send = send.reshape(n_parts, halo_pad, xs.shape[1])
+        halo = jax.lax.all_to_all(
+            send, GRAPH_AXIS, split_axis=0, concat_axis=0
+        )
+        x_cat = jnp.concatenate(
+            [xs, halo.reshape(n_parts * halo_pad, xs.shape[1])], axis=0
+        )
+        return _local_ell_aggregate(
+            cls_cols, cls_vals, cls_kc, inv_perm, x_cat, rows_per_part
+        )
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(GRAPH_AXIS), P(GRAPH_AXIS), P(GRAPH_AXIS),
+                  P(GRAPH_AXIS), P(GRAPH_AXIS, None)),
+        out_specs=P(GRAPH_AXIS, None),
+    )(cls_cols, cls_vals, inv_perm, send_idx, x)
+
+
+def sharded_ell_spmm(op: ShardedEllOp, x: jnp.ndarray,
+                     mesh: Mesh) -> jnp.ndarray:
+    """``A @ x`` over the sharded bucketed-ELL operator; the custom VJP
+    runs the transpose planes, mirroring ``sharded_spmm``."""
+
+    @jax.custom_vjp
+    def _spmm(op_, x_):
+        if op_.send_idx is not None:
+            return _spmm_shardmap_ell_halo(
+                op_.cls_cols, op_.cls_vals, op_.cls_kc, op_.inv_perm,
+                op_.send_idx, x_, mesh, op_.rows_per_part, op_.halo_pad,
+                op_.gather_dtype,
+            )
+        return _spmm_shardmap_ell(
+            op_.cls_cols, op_.cls_vals, op_.cls_kc, op_.inv_perm, x_,
+            mesh, op_.rows_per_part, op_.gather_dtype,
+        )
+
+    def _fwd(op_, x_):
+        return _spmm(op_, x_), op_
+
+    def _bwd(op_, g):
+        if op_.send_idx_t is not None:
+            dx = _spmm_shardmap_ell_halo(
+                op_.cls_cols_t, op_.cls_vals_t, op_.cls_kc_t,
+                op_.inv_perm_t, op_.send_idx_t, g, mesh,
+                op_.rows_per_part, op_.halo_pad_t, op_.gather_dtype,
+            )
+        else:
+            dx = _spmm_shardmap_ell(
+                op_.cls_cols_t, op_.cls_vals_t, op_.cls_kc_t,
+                op_.inv_perm_t, g, mesh, op_.rows_per_part,
+                op_.gather_dtype,
+            )
+        return jax.tree_util.tree_map(jnp.zeros_like, op_), dx
+
+    _spmm.defvjp(_fwd, _bwd)
+    return _spmm(op, x)
 
 
 def _local_spmm(row_l, col, val, x_block, mesh, rows_per_part):

@@ -277,7 +277,8 @@ def test_halo_auto_selects_by_volume(small_graph, banded_graph, mesh):
     assert op_rand.col_h is None  # fell back to all-gather
 
 
-def test_halo_model_forward_matches_single_device(small_graph, mesh):
+@pytest.mark.parametrize("fmt", ["ell", "coo"])
+def test_halo_model_forward_matches_single_device(small_graph, mesh, fmt):
     from acmgnn_tpu.ops.graph import Operators, make_dense_op
 
     adj, features, _ = small_graph
@@ -287,10 +288,127 @@ def test_halo_model_forward_matches_single_device(small_graph, mesh):
     out_single = np.asarray(model.apply(params, jnp.asarray(features), ops_single))
 
     ops_sharded, boundaries, rpp = make_sharded_operators(
-        adj, mesh, pad_multiple=64, exchange="halo", structure_info=True
+        adj, mesh, pad_multiple=64, exchange="halo", structure_info=True,
+        fmt=fmt,
     )
-    assert ops_sharded.adj_low.col_h is not None
+    halo_marker = (
+        ops_sharded.adj_low.send_idx
+        if fmt == "ell"
+        else ops_sharded.adj_low.col_h
+    )
+    assert halo_marker is not None
     x = shard_node_array(features, boundaries, rpp, mesh)
     out_sharded = np.asarray(model.apply(params, x, ops_sharded))
     out_sharded = unpad_node_array(out_sharded, boundaries, rpp)
     np.testing.assert_allclose(out_sharded, out_single, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("exchange", ["allgather", "halo"])
+def test_sharded_ell_spmm_matches_dense(small_graph, mesh, exchange):
+    from acmgnn_tpu.parallel.sharded import (
+        make_sharded_ell_op,
+        sharded_ell_spmm,
+    )
+
+    adj, features, _ = small_graph
+    a_hat = row_normalized_adjacency(adj)
+    op, boundaries = make_sharded_ell_op(
+        a_hat, mesh, pad_multiple=64, exchange=exchange
+    )
+    x = shard_node_array(features, boundaries, op.rows_per_part, mesh)
+    out = unpad_node_array(
+        np.asarray(sharded_ell_spmm(op, x, mesh)), boundaries,
+        op.rows_per_part,
+    )
+    want = np.asarray(a_hat.todense()) @ features
+    np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-5)
+
+    def loss(x_):
+        return jnp.sum(jnp.sin(sharded_ell_spmm(op, x_, mesh)))
+
+    got_g = unpad_node_array(
+        np.asarray(jax.grad(loss)(x)), boundaries, op.rows_per_part
+    )
+    dense = jnp.asarray(np.asarray(a_hat.todense()))
+
+    def loss_ref(x_):
+        return jnp.sum(jnp.sin(dense @ x_))
+
+    want_g = np.asarray(jax.grad(loss_ref)(jnp.asarray(features)))
+    np.testing.assert_allclose(got_g, want_g, rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_ell_powerlaw_classes(mesh):
+    """Power-law degrees exercise multiple degree classes + scan chunks
+    + cross-partition row padding."""
+    from acmgnn_tpu.parallel.sharded import (
+        make_sharded_ell_op,
+        sharded_ell_spmm,
+    )
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(4)
+    n, e = 900, 12000
+    w = (1.0 + np.arange(n)) ** -0.9
+    p = w / w.sum()
+    src = rng.choice(n, size=e, p=p)
+    dst = rng.choice(n, size=e, p=p)
+    adj = sp.csr_matrix(
+        (np.ones(e, np.float32), (src, dst)), shape=(n, n)
+    )
+    adj.sum_duplicates()
+    a_hat = row_normalized_adjacency(adj)
+    op, boundaries = make_sharded_ell_op(a_hat, mesh, pad_multiple=64)
+    assert len(op.cls_kc) > 2  # several degree classes in play
+    x_np = rng.standard_normal((n, 10)).astype(np.float32)
+    x = shard_node_array(x_np, boundaries, op.rows_per_part, mesh)
+    out = unpad_node_array(
+        np.asarray(sharded_ell_spmm(op, x, mesh)), boundaries,
+        op.rows_per_part,
+    )
+    want = np.asarray(a_hat.todense()) @ x_np
+    np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_ell_training_step(small_graph, mesh):
+    """run_experiment_sharded's operator path (fmt defaults to ell) must
+    train: loss decreases over a few steps."""
+    import optax
+
+    adj, features, labels = small_graph
+    ops, boundaries, rpp = make_sharded_operators(
+        adj, mesh, pad_multiple=64
+    )
+    from acmgnn_tpu.parallel.sharded import ShardedEllOp
+
+    assert isinstance(ops.adj_low, ShardedEllOp)
+    x = shard_node_array(features, boundaries, rpp, mesh)
+    nclass = int(labels.max()) + 1
+    y1h = shard_node_array(
+        np.eye(nclass, dtype=np.float32)[labels], boundaries, rpp, mesh
+    )
+    mask = shard_node_array(
+        np.ones(len(labels), np.float32), boundaries, rpp, mesh
+    )
+    model = ACMGNN(nhid=8, nclass=nclass, model_type="acmgcn", dropout=0.0)
+    params = model.init(jax.random.key(0), x, ops)
+    tx = optax.adam(0.05)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            logits = model.apply(p, x, ops)
+            logp = jax.nn.log_softmax(logits)
+            per = -jnp.sum(logp * y1h, axis=1) * mask
+            return jnp.sum(per) / jnp.sum(mask)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses = []
+    for _ in range(8):
+        params, opt_state, loss = step(params, opt_state)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]

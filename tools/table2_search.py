@@ -80,7 +80,7 @@ PAPER_TABLE2 = {
 
 STAGE1_GRID = {
     "lr": [0.01, 0.05, 0.1],
-    "weight_decay": [0.0, 5e-5, 5e-4, 5e-3],
+    "weight_decay": [0.0, 5e-5, 5e-4, 5e-3, 1e-2],
     "dropout": [0.0, 0.3, 0.5, 0.7, 0.85],
 }
 
