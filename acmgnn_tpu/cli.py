@@ -58,10 +58,11 @@ def _add_train_args(p: argparse.ArgumentParser):
                    default="float32")
     p.add_argument("--ell_hub_threshold", type=int, default=0,
                    help="ELL dense-row hybrid degree cutoff (0 = off)")
-    p.add_argument("--ell_block", type=int, default=1,
+    p.add_argument("--ell_block", type=int, default=0,
                    help="ELL block-column size: one gather slot covers "
-                        "this many adjacent columns (1 off [default, "
-                        "measured faster], -1 occupancy-auto)")
+                        "this many adjacent columns (0 unset [env "
+                        "ACMGNN_ELL_BLOCK, default off — measured "
+                        "faster], 1 off, -1 occupancy-auto)")
     p.add_argument("--joint", type=int, default=0,
                    help="paired train+eval loop (one 4-wide fused gather)")
     p.add_argument("--normalization", choices=["row", "sym"], default="row")

@@ -93,6 +93,40 @@ class EllOp(struct.PyTreeNode):
     gather_dtype: Any = struct.field(pytree_node=False, default=jnp.float32)
 
 
+def resolve_kc(kc: int | None = None) -> int:
+    """ELL scan-chunk base width; env default ``ACMGNN_ELL_KC``."""
+    import os
+
+    return int(os.environ.get("ACMGNN_ELL_KC", "8")) if kc is None else kc
+
+
+def resolve_chunk_fetches(chunk_fetches: int | None = None) -> int:
+    """Fetches per scan step; env default ``ACMGNN_ELL_CHUNK``."""
+    import os
+
+    if chunk_fetches is None:
+        return int(os.environ.get("ACMGNN_ELL_CHUNK", "262144"))
+    return chunk_fetches
+
+
+def _block_slot_starts(csr: sp.csr_matrix, block: int):
+    """(row_of, block_id, new_slot_mask) along sorted-CSR nnz order.
+
+    ``new_slot_mask[e]`` is True where a (row, column-block) run starts —
+    the single definition shared by ``block_occupancy`` (the auto
+    heuristic's predictor) and ``_build_half``'s block layout, so the
+    predicted and actual descriptor counts cannot drift apart.
+    """
+    deg = np.diff(csr.indptr)
+    row_of = np.repeat(np.arange(csr.shape[0]), deg)
+    bid = csr.indices // block
+    new = np.empty(csr.nnz, bool)
+    if csr.nnz:
+        new[0] = True
+        new[1:] = (bid[1:] != bid[:-1]) | (row_of[1:] != row_of[:-1])
+    return row_of, bid, new
+
+
 def block_occupancy(csr: sp.csr_matrix, block: int) -> float:
     """Mean nnz per distinct (row, column-block) pair.
 
@@ -104,12 +138,7 @@ def block_occupancy(csr: sp.csr_matrix, block: int) -> float:
     if csr.nnz == 0:
         return 1.0
     csr = csr.sorted_indices() if not csr.has_sorted_indices else csr
-    deg = np.diff(csr.indptr)
-    row_of = np.repeat(np.arange(csr.shape[0]), deg)
-    bid = csr.indices // block
-    new = np.empty(csr.nnz, bool)
-    new[0] = True
-    new[1:] = (bid[1:] != bid[:-1]) | (row_of[1:] != row_of[:-1])
+    _, _, new = _block_slot_starts(csr, block)
     return csr.nnz / int(new.sum())
 
 
@@ -130,17 +159,10 @@ def _build_half(
         # (row, col // block) pair changes along the CSR order.
         if not csr.has_sorted_indices:
             csr = csr.sorted_indices()
-        row_of = np.repeat(np.arange(n), deg)
-        bid_e = csr.indices // block
+        row_of, bid_e, new = _block_slot_starts(csr, block)
         off_e = csr.indices % block
-        new = np.empty(max(csr.nnz, 1), bool)
-        new[0] = True
-        if csr.nnz > 1:
-            new[1:csr.nnz] = (bid_e[1:] != bid_e[:-1]) | (
-                row_of[1:] != row_of[:-1]
-            )
-        slot_gid = np.cumsum(new[: csr.nnz]) - 1
-        kdeg = np.bincount(row_of[new[: csr.nnz]], minlength=n) \
+        slot_gid = np.cumsum(new) - 1
+        kdeg = np.bincount(row_of[new], minlength=n) \
             if csr.nnz else np.zeros(n, np.int64)
         first_slot = np.cumsum(kdeg) - kdeg
         slot_pos_e = slot_gid - first_slot[row_of]
@@ -278,10 +300,8 @@ def make_ell_op(
 ) -> EllOp:
     import os
 
-    if kc is None:
-        kc = int(os.environ.get("ACMGNN_ELL_KC", "8"))
-    if chunk_fetches is None:
-        chunk_fetches = int(os.environ.get("ACMGNN_ELL_CHUNK", "262144"))
+    kc = resolve_kc(kc)
+    chunk_fetches = resolve_chunk_fetches(chunk_fetches)
     # Default AUTO (2048): rows this dense are always cheaper as one MXU
     # matmul row than as thousands of descriptors (measured on the
     # power-law bench: 1238 -> 277 ms/epoch).  Graphs without such rows

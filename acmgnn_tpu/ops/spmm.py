@@ -115,26 +115,14 @@ def spmm_transpose(op: SparseOp, g: jnp.ndarray) -> jnp.ndarray:
     from acmgnn_tpu.parallel.sharded import (
         ShardedCooOp,
         ShardedEllOp,
-        _spmm_shardmap,
-        _spmm_shardmap_ell,
-        _spmm_shardmap_ell_halo,
+        sharded_ell_spmm_transpose,
+        sharded_spmm_transpose,
     )
 
     if isinstance(op, ShardedCooOp):
-        return _spmm_shardmap(
-            op.row_l_t, op.col_t, op.val_t, g, op.mesh, op.rows_per_part
-        )
+        return sharded_spmm_transpose(op, g)
     if isinstance(op, ShardedEllOp):
-        if op.send_idx_t is not None:
-            return _spmm_shardmap_ell_halo(
-                op.cls_cols_t, op.cls_vals_t, op.cls_kc_t, op.inv_perm_t,
-                op.send_idx_t, g, op.mesh, op.rows_per_part,
-                op.halo_pad_t, op.gather_dtype,
-            )
-        return _spmm_shardmap_ell(
-            op.cls_cols_t, op.cls_vals_t, op.cls_kc_t, op.inv_perm_t, g,
-            op.mesh, op.rows_per_part, op.gather_dtype,
-        )
+        return sharded_ell_spmm_transpose(op, g)
     raise TypeError(f"unsupported operator type: {type(op)!r}")
 
 

@@ -209,8 +209,8 @@ def build_sharded_ell(
     row_key: str = "row_l",
     val_key: str = "val",
     n_cols: int | None = None,
-    kc: int = 8,
-    chunk_fetches: int = 262144,
+    kc: int | None = None,
+    chunk_fetches: int | None = None,
 ) -> dict:
     """Per-partition bucketed-ELL planes with SHARED shapes.
 
@@ -233,6 +233,10 @@ def build_sharded_ell(
       inv_perm:  [P, rows_per_part] int32 into the per-device concat
                  [class_0 rows | class_1 rows | ... | one zero row]
     """
+    from acmgnn_tpu.ops.ell import resolve_chunk_fetches, resolve_kc
+
+    kc = resolve_kc(kc)
+    chunk_fetches = resolve_chunk_fetches(chunk_fetches)
     rpp = int(blocks["rows_per_part"])
     row_l = blocks[row_key]
     col = blocks[col_key]
@@ -302,8 +306,7 @@ def build_sharded_ell(
         nz_rows = np.flatnonzero(deg_p > 0)
         inv_perm[p] = zero_idx
         inv_perm[p, nz_rows] = (
-            np.asarray([offsets[int(c)] for c in cls[p][nz_rows]])
-            + rank[nz_rows]
+            np.asarray(offsets, np.int64)[cls[p][nz_rows]] + rank[nz_rows]
         ).astype(np.int32)
         # pack nnz into the class planes (vectorized per partition)
         if m.nnz:

@@ -76,6 +76,27 @@ def make_graph_mesh(devices=None) -> Mesh:
     return Mesh(np.asarray(devices), (GRAPH_AXIS,))
 
 
+def _choose_halo(blocks: dict, exchange: str, n_parts: int) -> dict:
+    """Halo-vs-allgather policy, shared by the COO and ELL builders.
+
+    Returns the halo schedule when ``exchange`` forces it, or (``auto``)
+    when its padded per-device exchange volume is under half the
+    all-gather volume; ``{}`` means full feature all-gather.
+    """
+    if exchange not in ("allgather", "halo", "auto"):
+        raise ValueError(f"unknown exchange mode: {exchange!r}")
+    if exchange == "allgather" or n_parts <= 1:
+        return {}
+    sched = build_halo_schedule(blocks)
+    rpp = int(blocks["rows_per_part"])
+    # rows actually moved per device per SpMM, padded slabs included
+    halo_vol = n_parts * max(sched["halo_pad"], sched["halo_pad_t"])
+    allgather_vol = (n_parts - 1) * rpp
+    if exchange == "halo" or halo_vol < 0.5 * allgather_vol:
+        return sched
+    return {}
+
+
 def make_sharded_coo_op(
     adj_op,
     mesh: Mesh,
@@ -91,21 +112,11 @@ def make_sharded_coo_op(
     ``"auto"`` (pick halo iff its padded exchange volume is under half the
     all-gather volume).
     """
-    if exchange not in ("allgather", "halo", "auto"):
-        raise ValueError(f"unknown exchange mode: {exchange!r}")
     n_parts = mesh.devices.size
     blocks = build_sharded_coo(
         adj_op, n_parts, pad_multiple=pad_multiple, boundaries=boundaries
     )
-    halo = {}
-    if exchange in ("halo", "auto") and n_parts > 1:
-        sched = build_halo_schedule(blocks)
-        rpp = int(blocks["rows_per_part"])
-        # rows actually moved per device per SpMM, padded slabs included
-        halo_vol = n_parts * max(sched["halo_pad"], sched["halo_pad_t"])
-        allgather_vol = (n_parts - 1) * rpp
-        if exchange == "halo" or halo_vol < 0.5 * allgather_vol:
-            halo = sched
+    halo = _choose_halo(blocks, exchange, n_parts)
     shard = NamedSharding(mesh, P(GRAPH_AXIS))
     dev = lambda a: jax.device_put(jnp.asarray(a), shard)
     return ShardedCooOp(
@@ -239,20 +250,12 @@ def make_sharded_ell_op(
     """
     from acmgnn_tpu.parallel.partition import build_sharded_ell
 
-    if exchange not in ("allgather", "halo", "auto"):
-        raise ValueError(f"unknown exchange mode: {exchange!r}")
     n_parts = mesh.devices.size
     blocks = build_sharded_coo(
         adj_op, n_parts, pad_multiple=pad_multiple, boundaries=boundaries
     )
     rpp = int(blocks["rows_per_part"])
-    halo = {}
-    if exchange in ("halo", "auto") and n_parts > 1:
-        sched = build_halo_schedule(blocks)
-        halo_vol = n_parts * max(sched["halo_pad"], sched["halo_pad_t"])
-        allgather_vol = (n_parts - 1) * rpp
-        if exchange == "halo" or halo_vol < 0.5 * allgather_vol:
-            halo = sched
+    halo = _choose_halo(blocks, exchange, n_parts)
     if halo:
         blocks = dict(blocks, col_h=halo["col_h"], col_h_t=halo["col_h_t"])
         fwd = build_sharded_ell(
@@ -291,8 +294,7 @@ def make_sharded_ell_op(
     ), blocks["boundaries"]
 
 
-def _local_ell_aggregate(cls_cols, cls_vals, cls_kc, inv_perm, x_cat,
-                         rows_per_part):
+def _local_ell_aggregate(cls_cols, cls_vals, cls_kc, inv_perm, x_cat):
     """Per-device scatter-free aggregation over the class planes."""
     from acmgnn_tpu.ops.ell import EllBucket, _bucket_spmm
 
@@ -306,13 +308,13 @@ def _local_ell_aggregate(cls_cols, cls_vals, cls_kc, inv_perm, x_cat,
 
 
 def _spmm_shardmap_ell(cls_cols, cls_vals, cls_kc, inv_perm, x, mesh,
-                       rows_per_part, gather_dtype):
+                       gather_dtype):
     def body(cls_cols, cls_vals, inv_perm, x_block):
         x_full = jax.lax.all_gather(
             x_block.astype(gather_dtype), GRAPH_AXIS, axis=0, tiled=True
         )
         return _local_ell_aggregate(
-            cls_cols, cls_vals, cls_kc, inv_perm, x_full, rows_per_part
+            cls_cols, cls_vals, cls_kc, inv_perm, x_full
         )
 
     return jax.shard_map(
@@ -325,7 +327,7 @@ def _spmm_shardmap_ell(cls_cols, cls_vals, cls_kc, inv_perm, x, mesh,
 
 
 def _spmm_shardmap_ell_halo(cls_cols, cls_vals, cls_kc, inv_perm, send_idx,
-                            x, mesh, rows_per_part, halo_pad, gather_dtype):
+                            x, mesh, halo_pad, gather_dtype):
     def body(cls_cols, cls_vals, inv_perm, send_idx, x_block):
         send_idx = send_idx[0]  # [P, halo_pad]
         n_parts = send_idx.shape[0]
@@ -339,7 +341,7 @@ def _spmm_shardmap_ell_halo(cls_cols, cls_vals, cls_kc, inv_perm, send_idx,
             [xs, halo.reshape(n_parts * halo_pad, xs.shape[1])], axis=0
         )
         return _local_ell_aggregate(
-            cls_cols, cls_vals, cls_kc, inv_perm, x_cat, rows_per_part
+            cls_cols, cls_vals, cls_kc, inv_perm, x_cat
         )
 
     return jax.shard_map(
@@ -349,6 +351,22 @@ def _spmm_shardmap_ell_halo(cls_cols, cls_vals, cls_kc, inv_perm, send_idx,
                   P(GRAPH_AXIS), P(GRAPH_AXIS, None)),
         out_specs=P(GRAPH_AXIS, None),
     )(cls_cols, cls_vals, inv_perm, send_idx, x)
+
+
+def sharded_ell_spmm_transpose(op: ShardedEllOp, g: jnp.ndarray,
+                               mesh: Mesh = None) -> jnp.ndarray:
+    """``A^T @ g`` over the transpose planes — the single definition used
+    by both the custom-VJP backward and ``ops.spmm.spmm_transpose``."""
+    mesh = op.mesh if mesh is None else mesh
+    if op.send_idx_t is not None:
+        return _spmm_shardmap_ell_halo(
+            op.cls_cols_t, op.cls_vals_t, op.cls_kc_t, op.inv_perm_t,
+            op.send_idx_t, g, mesh, op.halo_pad_t, op.gather_dtype,
+        )
+    return _spmm_shardmap_ell(
+        op.cls_cols_t, op.cls_vals_t, op.cls_kc_t, op.inv_perm_t, g,
+        mesh, op.gather_dtype,
+    )
 
 
 def sharded_ell_spmm(op: ShardedEllOp, x: jnp.ndarray,
@@ -361,30 +379,18 @@ def sharded_ell_spmm(op: ShardedEllOp, x: jnp.ndarray,
         if op_.send_idx is not None:
             return _spmm_shardmap_ell_halo(
                 op_.cls_cols, op_.cls_vals, op_.cls_kc, op_.inv_perm,
-                op_.send_idx, x_, mesh, op_.rows_per_part, op_.halo_pad,
-                op_.gather_dtype,
+                op_.send_idx, x_, mesh, op_.halo_pad, op_.gather_dtype,
             )
         return _spmm_shardmap_ell(
             op_.cls_cols, op_.cls_vals, op_.cls_kc, op_.inv_perm, x_,
-            mesh, op_.rows_per_part, op_.gather_dtype,
+            mesh, op_.gather_dtype,
         )
 
     def _fwd(op_, x_):
         return _spmm(op_, x_), op_
 
     def _bwd(op_, g):
-        if op_.send_idx_t is not None:
-            dx = _spmm_shardmap_ell_halo(
-                op_.cls_cols_t, op_.cls_vals_t, op_.cls_kc_t,
-                op_.inv_perm_t, op_.send_idx_t, g, mesh,
-                op_.rows_per_part, op_.halo_pad_t, op_.gather_dtype,
-            )
-        else:
-            dx = _spmm_shardmap_ell(
-                op_.cls_cols_t, op_.cls_vals_t, op_.cls_kc_t,
-                op_.inv_perm_t, g, mesh, op_.rows_per_part,
-                op_.gather_dtype,
-            )
+        dx = sharded_ell_spmm_transpose(op_, g, mesh)
         return jax.tree_util.tree_map(jnp.zeros_like, op_), dx
 
     _spmm.defvjp(_fwd, _bwd)
@@ -455,6 +461,21 @@ def _spmm_shardmap_halo(row_l, col_h, val, send_idx, x, mesh, rows_per_part):
     )(row_l, col_h, val, send_idx, x)
 
 
+def sharded_spmm_transpose(op: ShardedCooOp, g: jnp.ndarray,
+                           mesh: Mesh = None) -> jnp.ndarray:
+    """``A^T @ g`` over the transpose blocks — the single definition used
+    by both the custom-VJP backward and ``ops.spmm.spmm_transpose``."""
+    mesh = op.mesh if mesh is None else mesh
+    if op.col_h_t is not None:
+        return _spmm_shardmap_halo(
+            op.row_l_t, op.col_h_t, op.val_t, op.send_idx_t, g,
+            mesh, op.rows_per_part,
+        )
+    return _spmm_shardmap(
+        op.row_l_t, op.col_t, op.val_t, g, mesh, op.rows_per_part
+    )
+
+
 def sharded_spmm(op: ShardedCooOp, x: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
     """``A @ x`` with x row-sharded [padded_nodes, d]; custom VJP uses the
     transpose blocks so backward has identical structure to forward.
@@ -475,15 +496,7 @@ def sharded_spmm(op: ShardedCooOp, x: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
         return _spmm(op_, x_), op_
 
     def _bwd(op_, g):
-        if op_.col_h_t is not None:
-            dx = _spmm_shardmap_halo(
-                op_.row_l_t, op_.col_h_t, op_.val_t, op_.send_idx_t, g,
-                mesh, op_.rows_per_part,
-            )
-        else:
-            dx = _spmm_shardmap(
-                op_.row_l_t, op_.col_t, op_.val_t, g, mesh, op_.rows_per_part
-            )
+        dx = sharded_spmm_transpose(op_, g, mesh)
         return jax.tree_util.tree_map(jnp.zeros_like, op_), dx
 
     _spmm.defvjp(_fwd, _bwd)

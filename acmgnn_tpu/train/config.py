@@ -55,11 +55,12 @@ class TrainConfig:
     # 0 = auto (2048), negative = off.
     ell_hub_threshold: int = 0
     # ELL block-column layout: one gather slot addresses this many
-    # adjacent columns.  Default OFF — measured slower on the current
-    # TPU backend even on high-occupancy banded graphs (the gather
-    # engine's full descriptor rate only holds for <=128-column
-    # operands; see PERF.md).  -1 = occupancy-based auto, >1 = force.
-    ell_block: int = 1
+    # adjacent columns.  0 = unset (ACMGNN_ELL_BLOCK env, default 1/off
+    # — measured slower on the current TPU backend even on
+    # high-occupancy banded graphs: the gather engine's full descriptor
+    # rate only holds for <=128-column operands; see PERF.md).
+    # -1 = occupancy-based auto, >=1 = force.
+    ell_block: int = 0
     # joint paired train+eval loop: epoch k's train forward and epoch
     # k-1's eval forward ride ONE 4-wide fused gather.  Pays off when the
     # gather stays descriptor-bound (spmm_dtype=bfloat16 keeps the 4-wide

@@ -651,7 +651,7 @@ def prepare_data(dataset: GraphData | str, cfg: TrainConfig):
             jnp.bfloat16 if cfg.spmm_dtype == "bfloat16" else None
         ),
         ell_hub_threshold=cfg.ell_hub_threshold or None,
-        ell_block=cfg.ell_block,
+        ell_block=cfg.ell_block or None,
     )
     labels = np.asarray(data.labels)
     if labels.ndim > 1 and labels.shape[1] == 1:
