@@ -164,13 +164,11 @@ def spmm_multi(op_low: SparseOp, zs, high_pass_flags, grad_prefix=None):
     ``grad_prefix``: if set, only the first ``grad_prefix`` entries of
     ``zs`` are differentiable (the paired eval branch's entries carry no
     gradient) — the backward transposes just that prefix.
+
+    Dense operators take the same fused path: one ``[N, N] @ [N, Σd_i]``
+    MXU matmul reads the operator (the dominant operand at N >> d) once
+    instead of once per channel.
     """
-    if isinstance(op_low, DenseOp):
-        outs = []
-        for z, hp in zip(zs, high_pass_flags):
-            az = spmm(op_low, z)
-            outs.append(z - az if hp else az)
-        return outs
     dims = [z.shape[1] for z in zs]
     z_cat = jnp.concatenate(zs, axis=1)
     if grad_prefix is not None and grad_prefix < len(zs):
@@ -195,12 +193,11 @@ def spmm_dual(op_low: SparseOp, z_low: jnp.ndarray, z_high: jnp.ndarray):
     ``concat([z_low, z_high], axis=1)`` — same nnz traffic but twice the
     gather row width (512B rows DMA far better than 256B) and half the
     index processing.  Backward inherits the same fusion through the
-    concat/split.
+    concat/split.  Dense operators ride the same concat (one matmul
+    reads the [N, N] operator once for both channels — see also the
+    ``fused_dual_spmm`` Pallas kernel, which additionally finalizes the
+    high-pass subtraction in VMEM).
     """
-    if isinstance(op_low, DenseOp):
-        # MXU path: XLA handles the shared-A fusion well already.
-        low = spmm(op_low, z_low)
-        return low, z_high - spmm(op_low, z_high)
     d = z_low.shape[1]
     both = spmm(op_low, jnp.concatenate([z_low, z_high], axis=1))
     return both[:, :d], z_high - both[:, d:]
