@@ -44,6 +44,10 @@ def _add_train_args(p: argparse.ArgumentParser):
     p.add_argument("--layers", "--nlayers", dest="layers", type=int, default=1)
     p.add_argument("--hops", type=int, default=1)
     p.add_argument("--link_init_layers_X", type=int, default=1)
+    p.add_argument("--alpha", type=float, default=0.1,
+                   help="gcnII initial-residual strength")
+    p.add_argument("--lamda", type=float, default=0.5,
+                   help="gcnII identity-map decay")
     p.add_argument("--optimizer", choices=["adam", "adamw"], default="adam")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--rocauc", action="store_true")
@@ -112,6 +116,8 @@ def config_from_args(args) -> TrainConfig:
         structure_info=bool(args.structure_info),
         init_layers_X=args.link_init_layers_X,
         hops=args.hops,
+        alpha=args.alpha,
+        lamda=args.lamda,
         lr=args.lr,
         weight_decay=args.weight_decay,
         dropout=args.dropout,

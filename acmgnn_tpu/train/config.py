@@ -25,6 +25,8 @@ class TrainConfig:
     use_layernorm: Optional[bool] = None  # None => per-pipeline default
     init_layers_X: int = 1            # acmgcnpp skip-MLP depth
     hops: int = 1                     # acmsgc k-hop
+    alpha: float = 0.1                # gcnII initial-residual strength
+    lamda: float = 0.5                # gcnII identity-map decay
 
     # optimization
     lr: float = 0.05

@@ -75,6 +75,8 @@ def build_model(cfg: TrainConfig, nclass: int, nnodes: int) -> ACMGNN:
         use_layernorm=cfg.resolve_layernorm(),
         nnodes=nnodes,
         init_layers_X=cfg.init_layers_X,
+        alpha=cfg.alpha,
+        lamda=cfg.lamda,
     )
 
 

@@ -41,6 +41,7 @@ MODEL_DEFS = {
                             variant=True),
     "acmsnowball3_v1": dict(model_type="acmsnowball", nlayers=3,
                             variant=True),
+    "gcnII": dict(model_type="gcnII"),
     "acmgcnp": dict(model_type="acmgcnp"),
     "acmgcnp_v1": dict(model_type="acmgcnp", variant=True),
     "acmgcnpp": dict(model_type="acmgcnpp"),
@@ -95,6 +96,31 @@ RANDOM = {
         "squirrel": (0.1, 0.0, 0.8, 48.25, 0.94),
         "cora": (0.05, 1e-3, 0.6, 89.33, 1.30),
         "citeseer": (0.1, 1e-3, 0.9, 80.93, 1.32),
+    },
+    # GCNII (Table 11; dict entries carry per-dataset depth/lambda/alpha;
+    # the paper's "lambda alpha_l" columns map to lamda/alpha here)
+    "gcnII": {
+        "cornell": dict(lr=0.01, weight_decay=1e-3, dropout=0.5,
+                        nlayers=16, lamda=0.5, alpha=0.5,
+                        paper=(89.18, 3.96)),
+        "wisconsin": dict(lr=0.01, weight_decay=1e-3, dropout=0.5,
+                          nlayers=8, lamda=0.5, alpha=0.5,
+                          paper=(83.25, 2.69)),
+        "texas": dict(lr=0.01, weight_decay=1e-4, dropout=0.5,
+                      nlayers=4, lamda=1.5, alpha=0.5,
+                      paper=(82.46, 4.58)),
+        "film": dict(lr=0.01, weight_decay=1e-4, dropout=0.5,
+                     nlayers=8, lamda=1.5, alpha=0.3,
+                     paper=(40.82, 1.79)),
+        "squirrel": dict(lr=0.01, weight_decay=1e-4, dropout=0.5,
+                         nlayers=4, lamda=1.5, alpha=0.2,
+                         paper=(38.81, 1.97)),
+        "cora": dict(lr=0.01, weight_decay=1e-4, dropout=0.5,
+                     nlayers=16, lamda=0.5, alpha=0.2,
+                     paper=(88.98, 1.33)),
+        "citeseer": dict(lr=0.01, weight_decay=1e-3, dropout=0.5,
+                         nlayers=16, lamda=0.5, alpha=0.2,
+                         paper=(81.58, 1.30)),
     },
     # --- Table 12: ACM(II)-GNNs ---------------------------------------
     "acmsgc1": {

@@ -32,21 +32,28 @@ from acmgnn_tpu.train.config import TrainConfig  # noqa: E402
 from acmgnn_tpu.train.trainer import run_experiment  # noqa: E402
 
 
-def cell_config(model_key: str, entry: tuple, fixed: bool) -> TrainConfig:
-    lr, wd, dropout, _mean, _std = entry[:5]
-    sinfo = bool(entry[5]) if len(entry) > 5 else False
+def split_entry(entry):
+    """-> (hyper_kwargs, paper_mean, paper_std) for tuple or dict entries."""
+    if isinstance(entry, dict):
+        hyper = {k: v for k, v in entry.items() if k != "paper"}
+        return hyper, entry["paper"][0], entry["paper"][1]
+    lr, wd, dropout, mean, std = entry[:5]
+    hyper = dict(lr=lr, weight_decay=wd, dropout=dropout)
+    if len(entry) > 5:
+        hyper["structure_info"] = bool(entry[5])
+    return hyper, mean, std
+
+
+def cell_config(model_key: str, entry, fixed: bool) -> TrainConfig:
+    hyper, _, _ = split_entry(entry)
     return TrainConfig(
-        lr=lr,
-        weight_decay=wd,
-        dropout=dropout,
         hidden=64,
-        structure_info=sinfo,
         epochs=1000,
         early_stopping=200,
         num_splits=10,
         fixed_splits=fixed,
         selection="val_loss",
-        **MODEL_DEFS[model_key],
+        **{**MODEL_DEFS[model_key], **hyper},
     )
 
 
@@ -83,6 +90,7 @@ def main():
                       f"({r['test_mean']}±{r['test_std']})", flush=True)
                 continue
             entry = cells[ds]
+            _, paper_mean, paper_std = split_entry(entry)
             cfg = cell_config(mk, entry, fixed=args.protocol == "fixed")
             t0 = time.time()
             out = run_experiment(ds, cfg)
@@ -93,11 +101,12 @@ def main():
                 "config": {k: v for k, v in dataclasses.asdict(cfg).items()
                            if k in ("model_type", "variant", "hops",
                                     "nlayers", "lr", "weight_decay",
-                                    "dropout", "structure_info")},
+                                    "dropout", "structure_info",
+                                    "alpha", "lamda")},
                 "test_mean": round(100 * out["test_mean"], 2),
                 "test_std": round(100 * out["test_std"], 2),
-                "paper_mean": entry[3],
-                "paper_std": entry[4],
+                "paper_mean": paper_mean,
+                "paper_std": paper_std,
                 "wall_s": round(time.time() - t0, 1),
             }
             path.write_text(json.dumps(r, indent=1))
