@@ -646,7 +646,7 @@ def prepare_data(dataset: GraphData | str, cfg: TrainConfig):
     ops = precompute_operators(
         data.adj,
         normalization=cfg.normalization,
-        hops=cfg.hops if cfg.model_type == "acmsgc" else 1,
+        hops=cfg.hops if cfg.model_type in ("acmsgc", "sgc") else 1,
         structure_info=cfg.structure_info,
         fmt=cfg.operator_format,
         spmm_dtype=(
