@@ -237,6 +237,43 @@ RANDOM = {
 # FIXED 48/32/20 Geom-GCN splits (paper Tables 14/15) — the families not
 # already covered by PARITY.md's reproduce-script runs.
 FIXED = {
+    # --- Table 15: ACM(II)-GCN+/++ (6th field = structure_info) --------
+    "acmgcnp": {
+        "cornell": (0.05, 1e-3, 0.1, 85.68, 4.84, 0),
+        "wisconsin": (0.01, 1e-3, 0.1, 88.43, 2.39, 1),
+        "texas": (0.01, 5e-4, 0.2, 88.38, 3.64, 1),
+        "film": (0.05, 5e-3, 0.0, 36.13, 1.19, 0),
+        "squirrel": (0.002, 1e-4, 0.6, 66.06, 2.16, 1),
+        "cora": (0.002, 0.0, 0.6, 88.05, 0.99, 0),
+        "citeseer": (0.01, 5e-5, 0.3, 77.67, 1.19, 0),
+    },
+    "acmgcnp_v1": {
+        "cornell": (0.05, 5e-3, 0.0, 85.41, 5.30, 1),
+        "wisconsin": (0.01, 5e-3, 0.3, 88.04, 3.66, 1),
+        "texas": (0.05, 1e-2, 0.4, 88.11, 3.24, 1),
+        "film": (0.05, 5e-3, 0.0, 35.95, 1.33, 0),
+        "squirrel": (0.01, 5e-4, 0.8, 65.95, 1.74, 1),
+        "cora": (0.002, 5e-5, 0.7, 88.19, 1.17, 1),
+        "citeseer": (0.01, 5e-3, 0.2, 77.20, 1.61, 1),
+    },
+    "acmgcnpp": {
+        "cornell": (0.01, 5e-4, 0.1, 85.68, 5.80, 0),
+        "wisconsin": (0.05, 5e-3, 0.1, 88.24, 3.16, 1),
+        "texas": (0.01, 5e-3, 0.3, 88.38, 3.43, 1),
+        "film": (0.01, 5e-3, 0.0, 37.31, 1.09, 0),
+        "squirrel": (0.01, 1e-4, 0.8, 66.45, 1.83, 1),
+        "cora": (0.002, 5e-6, 0.7, 88.11, 0.96, 0),
+        "citeseer": (0.002, 5e-6, 0.6, 77.46, 1.65, 0),
+    },
+    "acmgcnpp_v1": {
+        "cornell": (0.01, 5e-3, 0.3, 86.49, 6.73, 0),
+        "wisconsin": (0.01, 5e-3, 0.2, 88.43, 3.66, 1),
+        "texas": (0.01, 5e-3, 0.6, 88.38, 3.43, 1),
+        "film": (0.01, 5e-3, 0.0, 36.68, 1.35, 0),
+        "squirrel": (0.002, 5e-4, 0.8, 66.75, 1.82, 1),
+        "cora": (0.002, 5e-5, 0.7, 88.25, 0.96, 0),
+        "citeseer": (0.01, 5e-5, 0.6, 77.12, 1.58, 0),
+    },
     "acmsgc1": {
         "cornell": (0.01, 5e-6, 0.0, 82.43, 5.44),
         "wisconsin": (0.1, 5e-6, 0.0, 86.47, 3.77),
