@@ -127,6 +127,10 @@ def main():
     p.add_argument("--variant", type=int, default=0)
     p.add_argument("--structure_info", type=int, default=None,
                    help="default: 1 for acmgcnp/pp, else 0")
+    p.add_argument("--fixed_splits", type=int, default=0,
+                   help="search on the bundled fixed Geom-GCN splits "
+                        "(paper Table-3 protocol) instead of random "
+                        "60/20/20; results prefixed fixed_")
     p.add_argument("--topk", type=int, default=4)
     p.add_argument("--stage1_splits", type=int, default=3)
     p.add_argument("--stage1_epochs", type=int, default=500)
@@ -137,10 +141,17 @@ def main():
     if sinfo is None:
         sinfo = 1 if args.model in ("acmgcnp", "acmgcnpp") else 0
     base = base_config(args.model, args.variant, sinfo)
+    if args.fixed_splits:
+        base = dataclasses.replace(base, fixed_splits=True)
     key = args.model + ("_v1" if args.variant else "")
-    paper = PAPER_TABLE2.get(key, PAPER_TABLE2.get(args.model, {})).get(
-        args.dataset
-    )
+    if args.fixed_splits:
+        key = "fixed_" + key
+    paper_key = args.model + ("_v1" if args.variant else "")
+    paper = None
+    if not args.fixed_splits:
+        paper = PAPER_TABLE2.get(
+            paper_key, PAPER_TABLE2.get(args.model, {})
+        ).get(args.dataset)
 
     # ---- stage 1: coarse screen ---------------------------------------
     s1 = dataclasses.replace(
