@@ -11,7 +11,8 @@ Subcommands:
   gen-graphs  — synthetic graph generation over an edge-homophily sweep
   gen-feats   — synthetic feature realizations from a base dataset
   homophily   — print homophily metrics for a dataset
-  bench       — benchmark scenarios (delegates to bench.py)
+
+Benchmarks live in ``bench.py`` at the repo root (driver contract).
 """
 
 from __future__ import annotations
