@@ -343,21 +343,40 @@ def make_ell_op(
     )
 
 
-def _bucket_spmm(bucket: EllBucket, x: jnp.ndarray) -> jnp.ndarray:
+def _bucket_spmm(
+    bucket: EllBucket, x: jnp.ndarray, unpack_dim: int | None = None
+) -> jnp.ndarray:
     """Scatter-free aggregation for one bucket: scan over slot chunks.
 
     ``x`` may be lower precision (bf16 gather traffic); per-chunk products
     are reduced into a float32 accumulator.  Block-column buckets gather
     ``block`` operand rows per descriptor (one fused row of the
     ``[N/block, block*d]`` view) and reduce over the extra axis.
+
+    ``unpack_dim``: ``x`` is a bit-packed int32 view of a
+    ``[N, unpack_dim]`` bf16 operand (two bf16 lanes per int32 column) —
+    gathered rows are bitcast back to bf16 after the take.  The gather
+    engine runs at full descriptor rate only for <= 128-column operands
+    (PERF.md "gather-width cliff", column-COUNT-bound, not byte-bound),
+    so packing keeps wide fused operands (e.g. the joint loop's 4 x 64
+    bf16 channels) under the cliff.  Bit-exact: pure reinterpretation.
     """
     nchunks, n_rows, _ = bucket.cols.shape
-    d = x.shape[1]
+    d = unpack_dim if unpack_dim is not None else x.shape[1]
     cols = bucket.cols
-    vals = bucket.vals.astype(x.dtype)
+    vals = bucket.vals
+    vals = vals.astype(jnp.bfloat16 if unpack_dim is not None else x.dtype)
     blk = bucket.block
 
-    if blk > 1:
+    if unpack_dim is not None:
+
+        def chunk_sum(c, v):
+            g = jnp.take(x, c, axis=0)  # [n_rows, kc, d//2] int32
+            g = jax.lax.bitcast_convert_type(g, jnp.bfloat16).reshape(
+                n_rows, -1, d
+            )
+            return jnp.sum(g * v[..., None], axis=1, dtype=jnp.float32)
+    elif blk > 1:
         n_pad = -(-x.shape[0] // blk) * blk
         xb = jnp.pad(x, ((0, n_pad - x.shape[0]), (0, 0))).reshape(
             n_pad // blk, blk * d
@@ -386,6 +405,12 @@ def _bucket_spmm(bucket: EllBucket, x: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
+def _pack_enabled() -> bool:
+    import os
+
+    return os.environ.get("ACMGNN_ELL_PACK", "1") == "1"
+
+
 def _half_spmm(half: EllHalf, x: jnp.ndarray) -> jnp.ndarray:
     parts = []
     if half.hub_mat is not None:
@@ -396,7 +421,24 @@ def _half_spmm(half: EllHalf, x: jnp.ndarray) -> jnp.ndarray:
                 preferred_element_type=jnp.float32,
             )
         )
-    parts += [_bucket_spmm(b, x) for b in half.buckets]
+    # Wide bf16 operands cross the 128-column gather cliff; bit-pack two
+    # bf16 lanes per int32 column so the descriptor rate stays full
+    # (bit-exact — see _bucket_spmm).  Plain-ELL buckets only.
+    unpack_dim = None
+    if (
+        x.dtype == jnp.bfloat16
+        and x.shape[1] > 128
+        and x.shape[1] % 2 == 0
+        and all(b.block == 1 for b in half.buckets)
+        and _pack_enabled()
+    ):
+        unpack_dim = x.shape[1]
+        x_buckets = jax.lax.bitcast_convert_type(
+            x.reshape(x.shape[0], x.shape[1] // 2, 2), jnp.int32
+        )
+    else:
+        x_buckets = x
+    parts += [_bucket_spmm(b, x_buckets, unpack_dim) for b in half.buckets]
     if half.num_zero_rows:
         parts.append(
             jnp.zeros((half.num_zero_rows, x.shape[1]), jnp.float32)

@@ -377,3 +377,38 @@ def test_ell_block_under_jit_and_model(small_graph):
         rtol=2e-4,
         atol=1e-4,
     )
+
+
+def test_ell_packed_wide_bf16_gather_matches_unpacked(monkeypatch):
+    """The >128-column bf16 bit-packing path (two bf16 lanes per int32
+    gather column, ops/ell.py) is a pure reinterpretation: results must
+    match the unpacked bf16 path to f32-accumulation-order noise, for
+    both forward and the custom-VJP backward, with and without a hub."""
+    from acmgnn_tpu.ops.ell import make_ell_op, ell_spmm
+
+    rng = np.random.default_rng(0)
+    n = 1500
+    a = sp.random(n, n, density=0.004, random_state=1, format="csr")
+    a = sp.csr_matrix(a)
+    a[0, :1200] = 1.0  # hub row (dense-hybrid path rides along)
+    a = sp.csr_matrix(a)
+    x = jnp.asarray(rng.normal(size=(n, 256)).astype(np.float32))
+    op = make_ell_op(a, gather_dtype=jnp.bfloat16, hub_threshold=1024)
+
+    def run(pack):
+        monkeypatch.setenv("ACMGNN_ELL_PACK", pack)
+        f = jax.jit(lambda x_: ell_spmm(op, x_)).lower(x).compile()
+        g = jax.jit(
+            jax.grad(lambda x_: jnp.sum(ell_spmm(op, x_) ** 2))
+        ).lower(x).compile()
+        return np.asarray(f(x)), np.asarray(g(x))
+
+    y0, g0 = run("0")
+    y1, g1 = run("1")
+    np.testing.assert_allclose(y1, y0, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(g1, g0, rtol=1e-4, atol=1e-3)
+    # narrow operands must bypass packing entirely (identical program)
+    xn = x[:, :64]
+    monkeypatch.setenv("ACMGNN_ELL_PACK", "1")
+    yn = np.asarray(ell_spmm(op, xn))
+    assert yn.shape == (n, 64)
