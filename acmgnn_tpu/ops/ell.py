@@ -406,9 +406,14 @@ def _bucket_spmm(
 
 
 def _pack_enabled() -> bool:
+    # Default OFF: measured at twitch-gamers scale (TPU v5e) the packed
+    # headline epoch is 252.0 vs 248.1 ms unpacked — the 128-column
+    # descriptor-rate recovery is cancelled by the per-call bitcast
+    # materializing an extra copy of the operand.  Kept as a knob for
+    # toolchains where the bitcast view is free.
     import os
 
-    return os.environ.get("ACMGNN_ELL_PACK", "1") == "1"
+    return os.environ.get("ACMGNN_ELL_PACK", "0") == "1"
 
 
 def _half_spmm(half: EllHalf, x: jnp.ndarray) -> jnp.ndarray:
