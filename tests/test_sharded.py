@@ -412,3 +412,33 @@ def test_sharded_ell_training_step(small_graph, mesh):
         params, opt_state, loss = step(params, opt_state)
         losses.append(float(loss))
     assert losses[-1] < losses[0]
+
+
+def test_run_experiment_sharded_joint_matches_sequential(mesh):
+    """The paired train+eval (joint) loop composes with the sharded ELL
+    SpMM: identical selection trajectory to the sequential sharded loop
+    (the joint body evaluates epoch k-1 with the same parameters the
+    sequential loop evaluates after its update)."""
+    from acmgnn_tpu.train.config import TrainConfig
+    from acmgnn_tpu.train.trainer import run_experiment_sharded
+
+    base = TrainConfig(
+        model_type="acmgcnp",
+        hidden=16,
+        epochs=60,
+        early_stopping=0,
+        num_splits=1,
+        fixed_splits=True,
+        dropout=0.0,      # dropout keys differ between loop shapes
+        operator_format="ell",
+    )
+    import dataclasses
+
+    seq = run_experiment_sharded(
+        "texas", base, mesh, pad_multiple=64, exchange="allgather"
+    )
+    joint = run_experiment_sharded(
+        "texas", dataclasses.replace(base, joint=True), mesh,
+        pad_multiple=64, exchange="allgather",
+    )
+    assert abs(seq["test_mean"] - joint["test_mean"]) < 1e-6, (seq, joint)
