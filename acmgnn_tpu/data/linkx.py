@@ -294,6 +294,96 @@ def load_ogbn_proteins() -> GraphData:
     )
 
 
+def _maybe_split(npz) -> list | None:
+    """Official OGB split indices if the preconverted npz carries them."""
+    keys = ("train_idx", "valid_idx", "test_idx")
+    if all(k in npz.files for k in keys):
+        return [
+            {
+                "train": npz["train_idx"].flatten().astype(np.int64),
+                "valid": npz["valid_idx"].flatten().astype(np.int64),
+                "test": npz["test_idx"].flatten().astype(np.int64),
+            }
+        ]
+    return None
+
+
+def _load_csv_gz_split(base) -> list | None:
+    """OGB raw split dir (e.g. ``split/time/{train,valid,test}.csv.gz``)."""
+    for sub in ("time", "sales_ranking"):
+        d = base / "split" / sub
+        if (d / "train.csv.gz").exists():
+            return [
+                {
+                    k: np.loadtxt(d / f"{k_file}.csv.gz", dtype=np.int64).flatten()
+                    for k, k_file in (
+                        ("train", "train"), ("valid", "valid"), ("test", "test")
+                    )
+                }
+            ]
+    return None
+
+
+def load_ogbn_arxiv(directed: bool = False) -> GraphData:
+    """ogbn-arxiv proper: 40-class subject-area labels + the official
+    time-based split (reference ``load_ogb_dataset``,
+    /root/reference/ACM-Geometric/dataset.py:205-220 — OGB package there,
+    preconverted files here: ``ogbn_arxiv.npz`` with
+    ``edge_index/node_feat/node_label[/train_idx/valid_idx/test_idx]``,
+    or the extracted raw csv.gz layout)."""
+    splits = None
+    try:
+        with np.load(find_data_file(LARGE, "ogbn_arxiv.npz")) as f:
+            if "node_label" not in f.files:
+                raise FileNotFoundError(
+                    "ogbn_arxiv.npz lacks node_label (arxiv-year-only "
+                    "conversion); add node_label for ogbn-arxiv proper"
+                )
+            edge_index = f["edge_index"].astype(np.int64)
+            node_feat = f["node_feat"].astype(np.float32)
+            labels = f["node_label"].flatten().astype(np.int32)
+            splits = _maybe_split(f)
+    except FileNotFoundError as npz_err:
+        try:
+            base = find_data_file(LARGE, "ogbn_arxiv", "raw", "edge.csv.gz").parent
+        except FileNotFoundError:
+            raise npz_err
+        edge_index = np.loadtxt(
+            base / "edge.csv.gz", delimiter=",", dtype=np.int64
+        ).T
+        node_feat = np.loadtxt(
+            base / "node-feat.csv.gz", delimiter=",", dtype=np.float32
+        )
+        labels = np.loadtxt(
+            base / "node-label.csv.gz", dtype=np.int64
+        ).flatten().astype(np.int32)
+        splits = _load_csv_gz_split(base.parent)
+    adj = _edges_to_adj(edge_index, node_feat.shape[0], symmetrize=not directed)
+    return GraphData(
+        name="ogbn-arxiv", adj=adj, features=node_feat, labels=labels,
+        splits=splits,
+    )
+
+
+def load_ogbn_products() -> GraphData:
+    """ogbn-products: 47-class labels + the official sales-ranking split,
+    from a preconverted ``ogbn_products.npz``
+    (``edge_index/node_feat/node_label[/train_idx/valid_idx/test_idx]``).
+    The product co-purchase graph is undirected at source; we symmetrize
+    like the reference's train-time ``to_undirected``
+    (/root/reference/ACM-Geometric/train.py:66-67)."""
+    with np.load(find_data_file(LARGE, "ogbn_products.npz")) as f:
+        edge_index = f["edge_index"].astype(np.int64)
+        node_feat = f["node_feat"].astype(np.float32)
+        labels = f["node_label"].flatten().astype(np.int32)
+        splits = _maybe_split(f)
+    adj = _edges_to_adj(edge_index, node_feat.shape[0])
+    return GraphData(
+        name="ogbn-products", adj=adj, features=node_feat, labels=labels,
+        splits=splits,
+    )
+
+
 _LOADERS = {
     "Penn94": lambda sub, directed: load_fb100("Penn94"),
     "fb100": lambda sub, directed: load_fb100(sub or "Penn94"),
@@ -307,6 +397,8 @@ _LOADERS = {
     "wiki": lambda sub, directed: load_wiki(),
     "arxiv-year": lambda sub, directed: load_arxiv_year(directed=directed),
     "ogbn-proteins": lambda sub, directed: load_ogbn_proteins(),
+    "ogbn-arxiv": lambda sub, directed: load_ogbn_arxiv(directed),
+    "ogbn-products": lambda sub, directed: load_ogbn_products(),
 }
 
 
