@@ -91,6 +91,10 @@ class EllOp(struct.PyTreeNode):
     num_nodes: int = struct.field(pytree_node=False)
     nnz: int = struct.field(pytree_node=False)
     gather_dtype: Any = struct.field(pytree_node=False, default=jnp.float32)
+    # bit-pack wide bf16 gather operands as int32 columns (see _half_spmm).
+    # Resolved ONCE at op build time (a trace-time env read would bake
+    # whichever value was active at first trace into the jit cache).
+    pack: bool = struct.field(pytree_node=False, default=False)
 
 
 def resolve_kc(kc: int | None = None) -> int:
@@ -297,9 +301,17 @@ def make_ell_op(
     chunk_fetches: int | None = None,
     block: int | None = None,
     block_min_occupancy: float | None = None,
+    pack: bool | None = None,
 ) -> EllOp:
     import os
 
+    # Default OFF: measured at twitch-gamers scale (TPU v5e) the packed
+    # headline epoch is 252.0 vs 248.1 ms unpacked — the 128-column
+    # descriptor-rate recovery is cancelled by the per-call bitcast
+    # materializing an extra copy of the operand.  Kept as a knob for
+    # toolchains where the bitcast view is free.
+    if pack is None:
+        pack = os.environ.get("ACMGNN_ELL_PACK", "0") == "1"
     kc = resolve_kc(kc)
     chunk_fetches = resolve_chunk_fetches(chunk_fetches)
     # Default AUTO (2048): rows this dense are always cheaper as one MXU
@@ -340,6 +352,7 @@ def make_ell_op(
         num_nodes=csr.shape[0],
         nnz=int(csr.nnz),
         gather_dtype=gather_dtype,
+        pack=bool(pack),
     )
 
 
@@ -405,18 +418,7 @@ def _bucket_spmm(
     return out
 
 
-def _pack_enabled() -> bool:
-    # Default OFF: measured at twitch-gamers scale (TPU v5e) the packed
-    # headline epoch is 252.0 vs 248.1 ms unpacked — the 128-column
-    # descriptor-rate recovery is cancelled by the per-call bitcast
-    # materializing an extra copy of the operand.  Kept as a knob for
-    # toolchains where the bitcast view is free.
-    import os
-
-    return os.environ.get("ACMGNN_ELL_PACK", "0") == "1"
-
-
-def _half_spmm(half: EllHalf, x: jnp.ndarray) -> jnp.ndarray:
+def _half_spmm(half: EllHalf, x: jnp.ndarray, pack: bool = False) -> jnp.ndarray:
     parts = []
     if half.hub_mat is not None:
         # Hub rows: one sequential MXU matmul replaces their descriptors.
@@ -428,14 +430,17 @@ def _half_spmm(half: EllHalf, x: jnp.ndarray) -> jnp.ndarray:
         )
     # Wide bf16 operands cross the 128-column gather cliff; bit-pack two
     # bf16 lanes per int32 column so the descriptor rate stays full
-    # (bit-exact — see _bucket_spmm).  Plain-ELL buckets only.
+    # (bit-exact — see _bucket_spmm).  Plain-ELL buckets only, and only
+    # for operands whose PACKED int32 view stays at <= 128 columns
+    # (i.e. <= 256 bf16 columns): beyond that the packed view still
+    # crosses the cliff, so the extra bitcast copy is pure cost.
     unpack_dim = None
     if (
-        x.dtype == jnp.bfloat16
-        and x.shape[1] > 128
+        pack
+        and x.dtype == jnp.bfloat16
+        and 128 < x.shape[1] <= 256
         and x.shape[1] % 2 == 0
         and all(b.block == 1 for b in half.buckets)
-        and _pack_enabled()
     ):
         unpack_dim = x.shape[1]
         x_buckets = jax.lax.bitcast_convert_type(
@@ -457,7 +462,7 @@ def _half_spmm(half: EllHalf, x: jnp.ndarray) -> jnp.ndarray:
 
 @jax.custom_vjp
 def ell_spmm(op: EllOp, x: jnp.ndarray) -> jnp.ndarray:
-    return _half_spmm(op.fwd, x.astype(op.gather_dtype))
+    return _half_spmm(op.fwd, x.astype(op.gather_dtype), pack=op.pack)
 
 
 def _ell_fwd(op, x):
@@ -465,7 +470,7 @@ def _ell_fwd(op, x):
 
 
 def _ell_bwd(op, g):
-    dx = _half_spmm(op.bwd, g.astype(op.gather_dtype))
+    dx = _half_spmm(op.bwd, g.astype(op.gather_dtype), pack=op.pack)
     return jax.tree_util.tree_map(jnp.zeros_like, op), dx
 
 

@@ -111,7 +111,7 @@ def spmm_transpose(op: SparseOp, g: jnp.ndarray) -> jnp.ndarray:
     if isinstance(op, CooOp):
         return _coo_matvec_rows(op.row_t, op.col_t, op.val_t, g, op.num_nodes)
     if isinstance(op, EllOp):
-        return _half_spmm(op.bwd, g.astype(op.gather_dtype))
+        return _half_spmm(op.bwd, g.astype(op.gather_dtype), pack=op.pack)
     from acmgnn_tpu.parallel.sharded import (
         ShardedCooOp,
         ShardedEllOp,

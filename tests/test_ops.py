@@ -379,11 +379,14 @@ def test_ell_block_under_jit_and_model(small_graph):
     )
 
 
-def test_ell_packed_wide_bf16_gather_matches_unpacked(monkeypatch):
+def test_ell_packed_wide_bf16_gather_matches_unpacked():
     """The >128-column bf16 bit-packing path (two bf16 lanes per int32
     gather column, ops/ell.py) is a pure reinterpretation: results must
     match the unpacked bf16 path to f32-accumulation-order noise, for
-    both forward and the custom-VJP backward, with and without a hub."""
+    both forward and the custom-VJP backward, with and without a hub.
+    The knob is a static op-build-time field (EllOp.pack), not a
+    trace-time env read (ADVICE r1: env toggles after first trace were
+    silently ignored by the jit cache)."""
     from acmgnn_tpu.ops.ell import make_ell_op, ell_spmm
 
     rng = np.random.default_rng(0)
@@ -393,22 +396,30 @@ def test_ell_packed_wide_bf16_gather_matches_unpacked(monkeypatch):
     a[0, :1200] = 1.0  # hub row (dense-hybrid path rides along)
     a = sp.csr_matrix(a)
     x = jnp.asarray(rng.normal(size=(n, 256)).astype(np.float32))
-    op = make_ell_op(a, gather_dtype=jnp.bfloat16, hub_threshold=1024)
 
-    def run(pack):
-        monkeypatch.setenv("ACMGNN_ELL_PACK", pack)
-        f = jax.jit(lambda x_: ell_spmm(op, x_)).lower(x).compile()
-        g = jax.jit(
-            jax.grad(lambda x_: jnp.sum(ell_spmm(op, x_) ** 2))
-        ).lower(x).compile()
-        return np.asarray(f(x)), np.asarray(g(x))
+    def run(op, xin):
+        f = jax.jit(lambda x_: ell_spmm(op, x_))
+        g = jax.jit(jax.grad(lambda x_: jnp.sum(ell_spmm(op, x_) ** 2)))
+        return np.asarray(f(xin)), np.asarray(g(xin))
 
-    y0, g0 = run("0")
-    y1, g1 = run("1")
+    op0 = make_ell_op(a, gather_dtype=jnp.bfloat16, hub_threshold=1024,
+                      pack=False)
+    op1 = make_ell_op(a, gather_dtype=jnp.bfloat16, hub_threshold=1024,
+                      pack=True)
+    y0, g0 = run(op0, x)
+    y1, g1 = run(op1, x)
     np.testing.assert_allclose(y1, y0, rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(g1, g0, rtol=1e-4, atol=1e-3)
-    # narrow operands must bypass packing entirely (identical program)
+    # narrow operands bypass packing entirely — and must match the
+    # unpacked path in VALUE, not just shape (ADVICE r1)
     xn = x[:, :64]
-    monkeypatch.setenv("ACMGNN_ELL_PACK", "1")
-    yn = np.asarray(ell_spmm(op, xn))
-    assert yn.shape == (n, 64)
+    yn1, gn1 = run(op1, xn)
+    yn0, gn0 = run(op0, xn)
+    np.testing.assert_allclose(yn1, yn0, rtol=0, atol=0)
+    np.testing.assert_allclose(gn1, gn0, rtol=0, atol=0)
+    # operands whose PACKED view would still cross the 128-column cliff
+    # (> 256 bf16 columns) also bypass — value-checked against unpacked
+    xw = jnp.concatenate([x, x[:, :64]], axis=1)  # 320 columns
+    yw1, _ = run(op1, xw)
+    yw0, _ = run(op0, xw)
+    np.testing.assert_allclose(yw1, yw0, rtol=0, atol=0)

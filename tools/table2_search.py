@@ -190,6 +190,9 @@ def main():
         "model": args.model,
         "variant": args.variant,
         "structure_info": sinfo,
+        # the split protocol lives in the body, not just the filename
+        # prefix, so aggregators over */*.json can distinguish runs
+        "fixed_splits": bool(args.fixed_splits),
         "paper": paper,
         "best": finals[0] if finals else None,
         "stage2": finals,
