@@ -275,7 +275,7 @@ def cmd_homophily(args):
         "node_homophily": H.node_homophily(data.adj, data.labels),
         "class_homophily": H.class_homophily(data.adj, data.labels),
         "aggregation_homophily": H.aggregation_homophily(
-            data.features, data.adj.todense(), data.labels
+            data.features, data.adj, data.labels
         ),
     }
     print(json.dumps(out))

@@ -71,18 +71,28 @@ def class_homophily(adj, labels) -> float:
     return float(val / (c - 1))
 
 
-def aggregation_homophily(features, adj, labels, modified: bool = True) -> float:
+def aggregation_homophily(features, adj, labels) -> float:
     """The paper's new metric (/root/reference/synthetic-experiments/
     homophily.py:114-124): similarity-based.  For each node, the mean
     post-aggregation inner product with same-class nodes must dominate
-    every other class's mean for the node to count as homophilic."""
-    a = np.asarray(sp.csr_matrix(adj).todense(), dtype=np.float64)
+    every other class's mean for the node to count as homophilic.
+
+    The reference materializes the [N, N] similarity ``(AX)(AX)^T`` and
+    then averages columns per class; since the class average commutes
+    with the inner product, ``mean_{j: y_j = c} <ax_i, ax_j> =
+    <ax_i, mean-class-row>``, so we compute the [N, C] score directly —
+    same value, no N x N densification, safe on LINKX-scale graphs.
+    (The reference signature also takes ``modified=True`` but never reads
+    it — dead parameter, dropped here rather than given invented
+    semantics.)
+    """
+    a = sp.csr_matrix(adj).astype(np.float64)
     x = np.asarray(features, dtype=np.float64)
     labels = np.asarray(labels).reshape(-1)
-    ax = a @ x
-    inner = ax @ ax.T  # [N, N] similarity after aggregation
+    ax = a @ x  # [N, F], sparse aggregation
     c = int(labels.max()) + 1
-    weight = np.zeros((a.shape[0], c))
+    class_means = np.zeros((c, ax.shape[1]))
     for i in range(c):
-        weight[:, i] = inner[:, labels == i].mean(axis=1)
+        class_means[i] = ax[labels == i].mean(axis=0)
+    weight = ax @ class_means.T  # [N, C]
     return float((np.argmax(weight, axis=1) == labels).mean())

@@ -152,6 +152,40 @@ def test_aggregation_homophily_separable_case():
     assert H.aggregation_homophily(feats, adj, labels) == pytest.approx(1.0)
 
 
+def test_aggregation_homophily_matches_reference_torch():
+    """Our class-mean reformulation (no N x N similarity materialized)
+    must equal the reference's own torch implementation
+    (/root/reference/synthetic-experiments/homophily.py:114-124) on
+    random graphs."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_homophily", "/root/reference/synthetic-experiments/homophily.py"
+    )
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+    import torch
+
+    rng = np.random.default_rng(3)
+    for seed in range(3):
+        n, f, c = 60, 12, 4
+        adj = (rng.random((n, n)) < 0.12).astype(np.float64)
+        feats = rng.normal(size=(n, f)).astype(np.float64)
+        labels = rng.integers(0, c, size=n)
+        onehot = np.eye(c)[labels]
+        theirs = float(
+            ref.aggregation_homophily(
+                torch.from_numpy(feats),
+                torch.from_numpy(adj),
+                torch.from_numpy(onehot),
+            )
+        )
+        ours = H.aggregation_homophily(feats, adj, labels)
+        # the reference accumulates in torch float32; same argmax
+        # decisions, f32-rounded final fraction
+        assert ours == pytest.approx(theirs, abs=1e-6), seed
+
+
 def test_run_synthetic_experiment(tmp_path):
     """End-to-end synthetic pipeline: generate -> train -> aggregate.
     ACM-GCN on a high-homophily graph should beat chance easily."""
