@@ -47,18 +47,26 @@ from acmgnn_tpu.train.metrics import (
 from acmgnn_tpu.utils.resilience import retry_transient
 
 
-def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+def make_optimizer(
+    cfg: TrainConfig, lr=None, weight_decay=None
+) -> optax.GradientTransformation:
+    """Optimizer per config.  ``lr``/``weight_decay`` may override the
+    config values with TRACED scalars — optax's scale/decay transforms
+    are plain multiplies, so a sweep over (lr, wd) can reuse one
+    compiled program (see ``make_split_runner(hparams=...)``)."""
+    lr = cfg.lr if lr is None else lr
+    weight_decay = cfg.weight_decay if weight_decay is None else weight_decay
     if cfg.optimizer == "adam":
         # torch.optim.Adam(weight_decay=wd): L2 folded into the gradient
         # before the Adam moments — NOT decoupled.
         return optax.chain(
-            optax.add_decayed_weights(cfg.weight_decay),
+            optax.add_decayed_weights(weight_decay),
             optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
-            optax.scale(-cfg.lr),
+            optax.scale(-lr),
         )
     if cfg.optimizer == "adamw":
         return optax.adamw(
-            cfg.lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=cfg.weight_decay
+            lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=weight_decay
         )
     raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
 
@@ -121,8 +129,19 @@ def make_split_runner(model: ACMGNN, cfg: TrainConfig, tx=None, joint=None):
     a wash (322 vs 310 ms/epoch — the 4-wide gather's bandwidth offsets
     the descriptor halving; PERF.md), so the sequential loop stays the
     default.
+
+    The returned runner takes an optional trailing ``hparams=(lr, wd)``
+    pair of scalars: when given, the optimizer is built from them INSIDE
+    the traced function, so a (lr, wd) grid sweep reuses one compiled
+    program (dropout is a module attribute and stays static —
+    train/sweep.py groups by it).
     """
-    tx = make_optimizer(cfg) if tx is None else tx
+    tx_static = make_optimizer(cfg) if tx is None else tx
+
+    def resolve_tx(hparams):
+        if hparams is None:
+            return tx_static
+        return make_optimizer(cfg, lr=hparams[0], weight_decay=hparams[1])
     use_bce = cfg.loss == "bce"
     use_rocauc = cfg.metric == "rocauc"
     es = int(cfg.early_stopping)
@@ -171,7 +190,9 @@ def make_split_runner(model: ACMGNN, cfg: TrainConfig, tx=None, joint=None):
         logits = model.apply(variables, x, ops, training=False)
         return metrics_from_logits(logits, labels, labels_onehot, masks)
 
-    def run(variables, key, ops, x, labels, labels_onehot, masks):
+    def run(variables, key, ops, x, labels, labels_onehot, masks,
+            hparams=None):
+        tx = resolve_tx(hparams)
         params0, rest0 = _split_variables(variables)
         opt_state0 = tx.init(params0)
         train_mask = masks[0]
@@ -264,9 +285,11 @@ def make_split_runner(model: ACMGNN, cfg: TrainConfig, tx=None, joint=None):
             loss = masked_nll(log_probs, labels, train_mask)
         return loss, (updates, logits_eval)
 
-    def run_joint(variables, key, ops, x, labels, labels_onehot, masks):
+    def run_joint(variables, key, ops, x, labels, labels_onehot, masks,
+                  hparams=None):
         """Joint loop: body k evaluates epoch k-1 (params after k updates)
         and trains epoch k in one paired forward."""
+        tx = resolve_tx(hparams)
         params0, rest0 = _split_variables(variables)
         opt_state0 = tx.init(params0)
         train_mask = masks[0]
@@ -782,16 +805,28 @@ def run_experiment(
     *,
     splits: Optional[list] = None,
     logger=None,
+    prepared=None,
+    runner=None,
+    hparams=None,
 ) -> dict:
     """Multi-split experiment: the equivalent of the reference train.py
     scripts (/root/reference/ACM-Pytorch/train.py:49-159).
 
     Returns aggregate stats plus per-split results and timing.
+
+    ``prepared``/``runner``/``hparams`` are the sweep engine's reuse
+    hooks (train/sweep.py): pass ``prepare_data``'s output to skip
+    re-preprocessing, a pre-jitted split runner to skip re-compiling,
+    and ``(lr, wd)`` scalars to drive a ``make_split_runner`` built for
+    traced hyperparameters.
     """
-    data, ops, x, labels, labels_onehot, nclass = prepare_data(dataset, cfg)
+    data, ops, x, labels, labels_onehot, nclass = (
+        prepared if prepared is not None else prepare_data(dataset, cfg)
+    )
     n = data.num_nodes
     model = build_model(cfg, nclass, n)
-    runner = jax.jit(make_split_runner(model, cfg))
+    if runner is None:
+        runner = jax.jit(make_split_runner(model, cfg))
 
     rng = np.random.default_rng(cfg.seed)
     key = jax.random.key(cfg.seed)
@@ -812,10 +847,11 @@ def run_experiment(
         init_key, run_key = jax.random.split(split_key)
         variables = model.init(init_key, x, ops)
         t_split = time.time()
+        run_args = (variables, run_key, ops, x, labels, labels_onehot, masks)
+        if hparams is not None:
+            run_args = run_args + (hparams,)
         run_once = retry_transient(
-            lambda: jax.device_get(
-                runner(variables, run_key, ops, x, labels, labels_onehot, masks)
-            ),
+            lambda: jax.device_get(runner(*run_args)),
             logger=logger,
         )
         res = run_once()

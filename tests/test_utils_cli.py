@@ -58,11 +58,85 @@ def test_checkpoint_roundtrip(tmp_path):
 def test_build_grid_reference_defaults():
     cfg = TrainConfig(model_type="acmgcn")
     grid = build_grid(cfg, dataset="texas")
-    assert len(grid) == 3 * 8 * 10  # lr x wd x dropout
+    # 9 weight decays incl. 5e-6 (reference hyperparameter_searching.py:57)
+    assert len(grid) == 3 * 9 * 10  # lr x wd x dropout
+    assert any(c.weight_decay == 5e-6 for c in grid)
     # acmsgc pins dropout=0 (reference hyperparameter_searching.py:58-61)
     grid_sgc = build_grid(TrainConfig(model_type="acmsgc"), dataset="texas")
-    assert len(grid_sgc) == 3 * 8 * 1
+    assert len(grid_sgc) == 3 * 9 * 1
     assert all(c.dropout == 0.0 for c in grid_sgc)
+    # deezer shrinks BOTH lists (reference hyperparameter_searching.py:51-53)
+    grid_dz = build_grid(cfg, dataset="deezer-europe")
+    assert len(grid_dz) == 3 * 7 * 10
+    assert {c.lr for c in grid_dz} == {0.002, 0.01, 0.05}
+    assert max(c.weight_decay for c in grid_dz) == 1e-3
+
+
+def test_swept_grid_matches_per_config_runs(tmp_path):
+    """The traced-scalar (lr, wd) sweep must produce the same results as
+    independent per-config run_experiment calls, while compiling the
+    split runner once per dropout value."""
+    import jax
+    import jax.numpy as jnp
+
+    from acmgnn_tpu.train.sweep import grid_search
+    from acmgnn_tpu.train.trainer import (
+        build_model,
+        make_split_runner,
+        prepare_data,
+        run_experiment,
+    )
+
+    base = TrainConfig(
+        model_type="acmgcn",
+        hidden=16,
+        epochs=12,
+        early_stopping=0,
+        num_splits=2,
+        fixed_splits=True,
+    )
+    small_grid = {
+        "lr": [0.01, 0.05],
+        "weight_decay": [0.0, 5e-4],
+        "dropout": [0.3],
+    }
+    out_path = tmp_path / "sweep.json"
+    best = grid_search(
+        "texas", base, grid=small_grid, out_path=out_path
+    )
+    import json as _json
+
+    saved = _json.loads(out_path.read_text())
+    assert len(saved["grid"]) == 4
+    assert saved["best"]["test_mean"] == best["test_mean"]
+    assert saved["fixed_splits"] is True
+
+    # per-config equivalence for every grid point
+    import dataclasses as _dc
+
+    for rec in saved["grid"]:
+        cfg = TrainConfig(**{
+            k: v for k, v in rec["config"].items()
+            if k in TrainConfig.__dataclass_fields__
+        })
+        solo = run_experiment("texas", cfg)
+        assert solo["test_mean"] == pytest.approx(
+            rec["test_mean"], abs=1e-6
+        ), rec["config"]
+
+    # the runner really does reuse one compilation across (lr, wd)
+    prepared = prepare_data("texas", base)
+    cfg_d = _dc.replace(base, dropout=0.3)
+    model = build_model(cfg_d, prepared[5], prepared[0].num_nodes)
+    runner = jax.jit(make_split_runner(model, cfg_d))
+    for lr, wd in ((0.01, 0.0), (0.05, 5e-4)):
+        run_experiment(
+            "texas", _dc.replace(cfg_d, lr=lr, weight_decay=wd),
+            prepared=prepared, runner=runner,
+            hparams=(jnp.asarray(lr, jnp.float32),
+                     jnp.asarray(wd, jnp.float32)),
+        )
+    assert runner._cache_size() == 1
     # deezer lr grid override
     grid_dz = build_grid(cfg, dataset="deezer-europe")
     assert sorted({c.lr for c in grid_dz}) == [0.002, 0.01, 0.05]
