@@ -341,25 +341,45 @@ def bench_texas(epochs=500):
     }
 
 
-def bench_scaling(max_devices=None, repeats=20):
+def bench_scaling(max_devices=None, repeats=20, fmt="ell",
+                  exchange="allgather", graph="twitch", reorder=None):
     """Sharded-SpMM scaling efficiency across the available mesh sizes.
 
     On a real multi-chip slice this measures the BASELINE.json target
     (>=80% edges/s efficiency 1 chip -> N); with virtual CPU devices it
     validates the harness and the collective overhead shape only.
+
+    ``fmt``: local aggregation format — "ell" (the production scatter-free
+    format, default) or "coo" (segment-sum).  ``exchange``: "allgather" |
+    "halo" | "auto".  ``reorder``: optional locality permutation ("rcm")
+    applied before partitioning — what makes halo exchange pay.
     """
     import jax
     import jax.numpy as jnp
 
-    from acmgnn_tpu.ops.graph import row_normalized_adjacency
+    from acmgnn_tpu.ops.graph import (
+        locality_order,
+        permute_graph,
+        row_normalized_adjacency,
+    )
     from acmgnn_tpu.parallel.sharded import (
         make_graph_mesh,
         make_sharded_coo_op,
+        make_sharded_ell_op,
         shard_node_array,
+        sharded_ell_spmm,
         sharded_spmm,
     )
 
-    adj, features, _ = _twitch_gamers_scale_graph()
+    if graph == "powerlaw":
+        adj, features, _ = _powerlaw_scale_graph()
+    elif graph == "banded":
+        adj, features, _ = _banded_scale_graph()
+    else:
+        adj, features, _ = _twitch_gamers_scale_graph()
+    if reorder:
+        perm = locality_order(adj, reorder)
+        adj = permute_graph(adj, perm)
     a_hat = row_normalized_adjacency(adj)
     x_np = np.random.default_rng(0).normal(
         size=(adj.shape[0], 64)
@@ -370,9 +390,17 @@ def bench_scaling(max_devices=None, repeats=20):
     rows = []
     for nd in sizes:
         mesh = make_graph_mesh(jax.devices()[:nd])
-        op, boundaries = make_sharded_coo_op(a_hat, mesh)
+        if fmt == "ell":
+            op, boundaries = make_sharded_ell_op(
+                a_hat, mesh, exchange=exchange
+            )
+            f = jax.jit(lambda x_: sharded_ell_spmm(op, x_, mesh))
+        else:
+            op, boundaries = make_sharded_coo_op(
+                a_hat, mesh, exchange=exchange
+            )
+            f = jax.jit(lambda x_: sharded_spmm(op, x_, mesh))
         x = shard_node_array(x_np, boundaries, op.rows_per_part, mesh)
-        f = jax.jit(lambda x_: sharded_spmm(op, x_, mesh))
         jax.block_until_ready(f(x))
         t0 = time.perf_counter()
         out = x
@@ -380,16 +408,25 @@ def bench_scaling(max_devices=None, repeats=20):
             out = f(out)
         jax.block_until_ready(out)
         dt = (time.perf_counter() - t0) / repeats
-        rows.append({"devices": nd, "edges_per_s": round(op.nnz / dt)})
+        row = {"devices": nd, "edges_per_s": round(op.nnz / dt)}
+        if getattr(op, "halo_pad", 0):
+            # exchanged rows per device pair slab (dedup'd halo volume)
+            row["halo_pad"] = int(op.halo_pad)
+        rows.append(row)
     base = rows[0]["edges_per_s"]
     for r in rows:
         r["efficiency"] = round(r["edges_per_s"] / (base * r["devices"]), 3)
     return {
-        "metric": "sharded_spmm_scaling",
+        "metric": f"sharded_spmm_scaling_{fmt}_{exchange}",
         "value": rows[-1]["efficiency"],
         "unit": "efficiency@max_devices",
         "vs_baseline": None,
-        "detail": {"rows": rows, "device": str(jax.devices()[0])},
+        "detail": {
+            "rows": rows,
+            "graph": graph,
+            "reorder": reorder,
+            "device": str(jax.devices()[0]),
+        },
     }
 
 
@@ -403,6 +440,14 @@ def main():
         + [f"epoch_{k}" for k in LINKX_SCALE],
     )
     p.add_argument("--hub_threshold", type=int, default=0)
+    # scaling-scenario knobs (fmt x exchange sweep, VERDICT r1 item #4)
+    p.add_argument("--fmt", default="ell", choices=["ell", "coo"])
+    p.add_argument("--exchange", default="allgather",
+                   choices=["allgather", "halo", "auto"])
+    p.add_argument("--graph", default="twitch",
+                   choices=["twitch", "powerlaw", "banded"])
+    p.add_argument("--reorder", default=None, choices=[None, "rcm", "degree"])
+    p.add_argument("--repeats", type=int, default=20)
     args = p.parse_args()
     if args.scenario == "epoch":
         result = bench_epoch_twitch_scale(hub_threshold=args.hub_threshold)
@@ -419,7 +464,10 @@ def main():
     elif args.scenario == "spmm":
         result = bench_spmm()
     elif args.scenario == "scaling":
-        result = bench_scaling()
+        result = bench_scaling(
+            fmt=args.fmt, exchange=args.exchange, graph=args.graph,
+            reorder=args.reorder, repeats=args.repeats,
+        )
     else:
         result = bench_texas()
     print(json.dumps(result))
