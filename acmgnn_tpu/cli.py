@@ -92,6 +92,11 @@ def _add_train_args(p: argparse.ArgumentParser):
                    help="sharded SpMM communication: full feature "
                         "all-gather, dedup'd boundary halo all_to_all "
                         "(pair with --reorder rcm), or auto by volume")
+    p.add_argument("--partition", choices=["contiguous", "fennel"],
+                   default="contiguous",
+                   help="multi-chip row partition: nnz-balanced "
+                        "contiguous blocks, or streaming Fennel min-cut "
+                        "(shrinks halo volume on community graphs)")
     p.add_argument("--log_dir", default="./logs")
     p.add_argument("--results_csv", default="")
 
@@ -136,6 +141,7 @@ def config_from_args(args) -> TrainConfig:
         normalization=args.normalization,
         operator_format=args.operator_format,
         reorder=args.reorder,
+        partition=args.partition,
         spmm_dtype=args.spmm_dtype,
         joint=bool(args.joint),
         ell_hub_threshold=args.ell_hub_threshold,

@@ -35,6 +35,96 @@ def partition_rows(adj: sp.spmatrix, n_parts: int) -> np.ndarray:
     return boundaries
 
 
+def fennel_partition(
+    adj: sp.spmatrix,
+    n_parts: int,
+    gamma: float = 1.5,
+    slack: float = 1.05,
+    passes: int = 2,
+    order: str = "degree",
+) -> np.ndarray:
+    """Streaming Fennel partitioning (Tsourakakis et al., WSDM'14):
+    assign each node to the part maximizing ``|N(v) ∩ P| − α·γ·load(P)^(γ−1)``
+    under a hard load cap — a one-pass approximation of min-cut balanced
+    partitioning (the "METIS-style" partitioner SURVEY.md §7 calls for;
+    METIS itself isn't in this image).
+
+    Loads are DEGREE-weighted (nnz per part, not node counts) to match the
+    nnz-balanced contiguous baseline's compute balance.  ``passes > 1``
+    re-streams for refinement (each node may move given the now-complete
+    assignment of its neighbors).  Returns ``part[N]`` int32.
+    """
+    csr = sp.csr_matrix(adj)
+    n = csr.shape[0]
+    if n_parts <= 1:
+        return np.zeros(n, np.int32)
+    indptr, indices = csr.indptr, csr.indices
+    deg = np.diff(indptr).astype(np.int64)
+    total_load = float(max(csr.nnz, 1))
+    cap = slack * total_load / n_parts
+    # Fennel's alpha with loads rescaled to the nnz measure
+    alpha = total_load * (n_parts ** (gamma - 1.0)) / (total_load ** gamma)
+    if order == "degree":
+        visit = np.argsort(-deg, kind="stable")
+    elif order == "bfs":
+        from scipy.sparse.csgraph import breadth_first_order
+
+        seen = np.zeros(n, bool)
+        visit = []
+        for seed in np.argsort(-deg, kind="stable"):
+            if seen[seed]:
+                continue
+            bfs = breadth_first_order(
+                csr, int(seed), directed=False, return_predecessors=False
+            )
+            seen[bfs] = True
+            visit.append(bfs)
+        visit = np.concatenate(visit) if visit else np.arange(n)
+    else:
+        visit = np.arange(n)
+
+    part = np.full(n, -1, np.int32)
+    loads = np.zeros(n_parts, np.float64)
+    for _ in range(max(passes, 1)):
+        for v in visit:
+            w = float(deg[v])
+            p_old = part[v]
+            if p_old >= 0:
+                loads[p_old] -= w
+            nbr_parts = part[indices[indptr[v] : indptr[v + 1]]]
+            nbr_parts = nbr_parts[nbr_parts >= 0]
+            score = np.bincount(nbr_parts, minlength=n_parts).astype(
+                np.float64
+            )
+            score -= alpha * gamma * np.power(loads, gamma - 1.0)
+            over = loads + w > cap
+            if not over.all():
+                score[over] = -np.inf
+            p_new = int(np.argmax(score))
+            part[v] = p_new
+            loads[p_new] += w
+    return part
+
+
+def partition_to_perm(part: np.ndarray, n_parts: int):
+    """Node permutation making each part's rows contiguous, plus the
+    resulting row ``boundaries`` — the glue between an arbitrary
+    assignment and the contiguous-block sharding machinery
+    (``build_sharded_coo`` et al.).  Apply as ``adj[perm][:, perm]``,
+    ``x[perm]`` (same convention as ``ops.graph.locality_order``)."""
+    perm = np.argsort(part, kind="stable").astype(np.int64)
+    counts = np.bincount(part, minlength=n_parts)
+    boundaries = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    return perm, boundaries
+
+
+def edge_cut(adj: sp.spmatrix, part: np.ndarray) -> int:
+    """Number of (directed) nnz whose endpoints live in different parts —
+    the quantity halo exchange pays for."""
+    coo = sp.coo_matrix(adj)
+    return int((part[coo.row] != part[coo.col]).sum())
+
+
 def _block_triplets(csr: sp.csr_matrix, r0: int, r1: int):
     """COO triplets of rows [r0, r1) with local row ids, CSR-ordered."""
     block = csr[r0:r1]

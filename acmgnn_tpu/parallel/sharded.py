@@ -156,6 +156,7 @@ def make_sharded_operators(
     pad_multiple: int = 512,
     exchange: str = "allgather",
     fmt: str = "ell",
+    boundaries=None,
 ):
     """Sharded counterpart of ``ops.graph.precompute_operators``.
 
@@ -181,7 +182,9 @@ def make_sharded_operators(
         raise ValueError(f"unknown normalization: {normalization!r}")
 
     make = make_sharded_ell_op if fmt == "ell" else make_sharded_coo_op
-    op_low, boundaries = make(adj_low, mesh, pad_multiple, exchange=exchange)
+    op_low, boundaries = make(
+        adj_low, mesh, pad_multiple, boundaries=boundaries, exchange=exchange
+    )
     adj_unnorm_op = None
     if structure_info:
         # Share A_hat's partition so all node activations line up.

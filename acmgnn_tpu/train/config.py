@@ -51,6 +51,10 @@ class TrainConfig:
     operator_format: str = "auto"     # "auto" | "dense" | "coo" | "ell"
     spmm_dtype: str = "float32"       # "bfloat16": halve ELL gather traffic
     reorder: str = "none"             # "rcm"|"degree": gather-locality perm
+    # multi-chip row partition: "contiguous" (nnz-balanced blocks) or
+    # "fennel" (streaming min-cut-ish, parallel/partition.py — shrinks
+    # the halo exchange volume on community-structured graphs)
+    partition: str = "contiguous"
     # ELL dense-row hybrid: rows with degree >= this become one MXU
     # matmul block instead of per-edge gather descriptors (pays off on
     # power-law hub nodes; measured 4.5x at twitch scale).

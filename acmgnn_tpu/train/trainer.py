@@ -730,6 +730,32 @@ def run_experiment_sharded(
     # locality reorder before partitioning: RCM banding shrinks each
     # part's boundary halo, which is what makes exchange="halo" pay
     data = maybe_reorder(data, cfg)
+    boundaries_hint = None
+    if cfg.partition == "fennel":
+        # min-cut-ish assignment -> contiguity permutation + boundaries
+        import dataclasses as _dc
+
+        from acmgnn_tpu.ops.graph import permute_graph
+        from acmgnn_tpu.parallel.partition import (
+            fennel_partition,
+            partition_to_perm,
+        )
+
+        n_parts = int(mesh.devices.size)
+        part = fennel_partition(data.adj, n_parts)
+        perm, boundaries_hint = partition_to_perm(part, n_parts)
+        data = _dc.replace(
+            data,
+            adj=permute_graph(data.adj, perm),
+            features=np.asarray(data.features)[perm],
+            labels=np.asarray(data.labels)[perm],
+            perm=(
+                perm if data.perm is None
+                else np.asarray(data.perm)[perm]
+            ),
+        )
+    elif cfg.partition != "contiguous":
+        raise ValueError(f"unknown partition {cfg.partition!r}")
     features = data.features
     if cfg.resolve_feature_normalize():
         features = row_normalize_features(features)
@@ -741,6 +767,7 @@ def run_experiment_sharded(
         structure_info=cfg.structure_info,
         pad_multiple=pad_multiple,
         exchange=exchange,
+        boundaries=boundaries_hint,
     )
     labels_np = np.asarray(data.labels)
     if labels_np.ndim > 1 and labels_np.shape[1] == 1:

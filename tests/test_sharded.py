@@ -442,3 +442,106 @@ def test_run_experiment_sharded_joint_matches_sequential(mesh):
         pad_multiple=64, exchange="allgather",
     )
     assert abs(seq["test_mean"] - joint["test_mean"]) < 1e-6, (seq, joint)
+
+
+# ---------------------------------------------------------------------------
+# Fennel streaming partitioner (VERDICT r1 item #5)
+# ---------------------------------------------------------------------------
+
+
+def _shuffled_community_graph(n_comm=8, size=40, p_in=0.25, p_out=0.004,
+                              seed=0):
+    """SBM with clear communities, node ids SHUFFLED so contiguous blocks
+    cut across every community."""
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(seed)
+    n = n_comm * size
+    comm = np.repeat(np.arange(n_comm), size)
+    dense = rng.random((n, n))
+    p = np.where(comm[:, None] == comm[None, :], p_in, p_out)
+    a = (dense < p).astype(np.float64)
+    a = np.maximum(a, a.T)
+    np.fill_diagonal(a, 0.0)
+    perm = rng.permutation(n)
+    return sp.csr_matrix(a[perm][:, perm])
+
+
+def test_fennel_balance_and_cut():
+    from acmgnn_tpu.parallel.partition import (
+        edge_cut,
+        fennel_partition,
+        partition_rows,
+    )
+
+    adj = _shuffled_community_graph()
+    n_parts = 8
+    part = fennel_partition(adj, n_parts)
+    deg = np.asarray(adj.sum(axis=1)).flatten()
+    loads = np.array([deg[part == p].sum() for p in range(n_parts)])
+    # degree-weighted balance within the slack cap
+    assert loads.max() <= 1.1 * adj.nnz / n_parts, loads
+    assert (np.bincount(part, minlength=n_parts) > 0).all()
+
+    # the whole point: far fewer cut edges than contiguous blocks on a
+    # community graph with shuffled ids
+    b = partition_rows(adj, n_parts)
+    contig = np.zeros(adj.shape[0], np.int32)
+    for i in range(n_parts):
+        contig[b[i]:b[i + 1]] = i
+    assert edge_cut(adj, part) < 0.5 * edge_cut(adj, contig), (
+        edge_cut(adj, part), edge_cut(adj, contig),
+    )
+
+
+def test_fennel_sharded_spmm_matches_dense(mesh):
+    """Fennel perm + boundaries drive the halo ELL path correctly."""
+    from acmgnn_tpu.ops.graph import permute_graph
+    from acmgnn_tpu.parallel.partition import (
+        fennel_partition,
+        partition_to_perm,
+    )
+    from acmgnn_tpu.parallel.sharded import (
+        make_sharded_ell_op,
+        sharded_ell_spmm,
+    )
+
+    adj = _shuffled_community_graph(seed=3)
+    n = adj.shape[0]
+    part = fennel_partition(adj, 8)
+    perm, boundaries = partition_to_perm(part, 8)
+    adj_p = permute_graph(adj, perm)
+    feats = np.random.default_rng(0).normal(size=(n, 12)).astype(np.float32)
+    feats_p = feats[perm]
+
+    a_hat = row_normalized_adjacency(adj_p)
+    op, b2 = make_sharded_ell_op(
+        a_hat, mesh, pad_multiple=16, boundaries=boundaries, exchange="halo"
+    )
+    assert op.send_idx is not None  # halo path really active
+    x = shard_node_array(feats_p, b2, op.rows_per_part, mesh)
+    out = unpad_node_array(
+        np.asarray(sharded_ell_spmm(op, x, mesh)), b2, op.rows_per_part
+    )
+    want = np.asarray(a_hat.todense()) @ feats_p
+    np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-5)
+
+
+def test_run_experiment_sharded_fennel_end_to_end(mesh):
+    from acmgnn_tpu.train.config import TrainConfig
+    from acmgnn_tpu.train.trainer import run_experiment_sharded
+
+    cfg = TrainConfig(
+        model_type="acmgcn",
+        hidden=16,
+        epochs=60,
+        early_stopping=0,
+        num_splits=1,
+        fixed_splits=True,
+        dropout=0.3,
+        partition="fennel",
+    )
+    out = run_experiment_sharded(
+        "texas", cfg, mesh, pad_multiple=64, exchange="halo"
+    )
+    assert out["test_mean"] > 0.5, out
