@@ -169,7 +169,10 @@ def cmd_train(args):
             devices = devices[: args.sharded]
         mesh = make_graph_mesh(devices)
         out = run_experiment_sharded(
-            args.dataset, cfg, mesh, logger=logger, exchange=args.exchange
+            args.dataset, cfg, mesh, logger=logger, exchange=args.exchange,
+            checkpoint_dir=args.checkpoint_dir or None,
+            checkpoint_every=args.checkpoint_every,
+            resume=args.resume,
         )
     elif args.stepwise or args.checkpoint_dir:
         from acmgnn_tpu.train.trainer import run_experiment_stepwise

@@ -191,7 +191,14 @@ def make_split_runner(model: ACMGNN, cfg: TrainConfig, tx=None, joint=None):
         return metrics_from_logits(logits, labels, labels_onehot, masks)
 
     def run(variables, key, ops, x, labels, labels_onehot, masks,
-            hparams=None):
+            hparams=None, init_state=None, epoch_limit=None,
+            return_state=False):
+        """``init_state``/``epoch_limit``/``return_state`` support
+        SEGMENTED execution of the fused loop (run ``k`` epochs, hand the
+        carried ``SplitState`` to the host for checkpointing, continue) —
+        what makes checkpoint/resume possible on the sharded path without
+        abandoning the while-loop runner.  ``return_state`` must be a jit
+        static argument."""
         tx = resolve_tx(hparams)
         params0, rest0 = _split_variables(variables)
         opt_state0 = tx.init(params0)
@@ -242,27 +249,36 @@ def make_split_runner(model: ACMGNN, cfg: TrainConfig, tx=None, joint=None):
                 stop=stop,
             )
 
-        init = SplitState(
-            variables=variables,
-            opt_state=opt_state0,
-            epoch=jnp.asarray(0, jnp.int32),
-            best_val_loss=jnp.asarray(jnp.inf, jnp.float32),
-            best_val_metric=jnp.asarray(-jnp.inf, jnp.float32),
-            best_test_metric=jnp.asarray(0.0, jnp.float32),
-            last_train_loss=jnp.asarray(0.0, jnp.float32),
-            val_hist=jnp.zeros((epochs,), jnp.float32),
-            stop=jnp.asarray(False),
+        if init_state is not None:
+            init = init_state
+        else:
+            init = SplitState(
+                variables=variables,
+                opt_state=opt_state0,
+                epoch=jnp.asarray(0, jnp.int32),
+                best_val_loss=jnp.asarray(jnp.inf, jnp.float32),
+                best_val_metric=jnp.asarray(-jnp.inf, jnp.float32),
+                best_test_metric=jnp.asarray(0.0, jnp.float32),
+                last_train_loss=jnp.asarray(0.0, jnp.float32),
+                val_hist=jnp.zeros((epochs,), jnp.float32),
+                stop=jnp.asarray(False),
+            )
+        limit = epochs if epoch_limit is None else jnp.minimum(
+            jnp.asarray(epoch_limit, jnp.int32), epochs
         )
         final = jax.lax.while_loop(
-            lambda s: (s.epoch < epochs) & (~s.stop), body, init
+            lambda s: (s.epoch < limit) & (~s.stop), body, init
         )
-        return SplitResult(
+        result = SplitResult(
             test_metric=final.best_test_metric,
             val_metric=final.best_val_metric,
             val_loss=final.best_val_loss,
             train_loss=final.last_train_loss,
             epochs_run=final.epoch,
         )
+        if return_state:
+            return result, final
+        return result
 
     def joint_loss_fn(params, rest, rng, ops, x, labels, labels_onehot,
                       train_mask):
@@ -700,6 +716,9 @@ def run_experiment_sharded(
     logger=None,
     pad_multiple: int = 512,
     exchange: str = "auto",
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 0,
+    resume: bool = False,
 ) -> dict:
     """Multi-chip full-batch training over a ``Mesh``.
 
@@ -785,7 +804,12 @@ def run_experiment_sharded(
 
     n_padded = int(x.shape[0])
     model = build_model(cfg, nclass, n_padded)
-    runner = jax.jit(make_split_runner(model, cfg))
+    checkpointing = checkpoint_dir is not None and checkpoint_every > 0
+    # segmented execution needs the sequential runner's state plumbing
+    runner = jax.jit(
+        make_split_runner(model, cfg, joint=False if checkpointing else None),
+        static_argnames=("return_state",),
+    )
 
     rng = np.random.default_rng(cfg.seed)
     key = jax.random.key(cfg.seed)
@@ -800,9 +824,55 @@ def run_experiment_sharded(
         split_key = jax.random.fold_in(key, idx)
         init_key, run_key = jax.random.split(split_key)
         variables = model.init(init_key, x, ops)
-        res = jax.device_get(
-            runner(variables, run_key, ops, x, labels, labels_onehot, masks)
-        )
+        common = (run_key, ops, x, labels, labels_onehot, masks)
+        if checkpointing:
+            # run the fused loop in checkpoint_every-epoch segments,
+            # snapshotting the carried SplitState between segments
+            from acmgnn_tpu.utils.checkpoint import (
+                restore_checkpoint,
+                save_checkpoint,
+            )
+
+            seg_path = f"{checkpoint_dir}/split{idx}_state"
+            # epoch-0 bound = a concrete zero-work state (shape template)
+            _, state = runner(
+                variables, *common,
+                epoch_limit=jnp.asarray(0, jnp.int32), return_state=True,
+            )
+            if resume and Path(seg_path).exists():
+                template = {"variables": jax.device_get(state), "step": 0}
+                state = restore_checkpoint(seg_path, template=template)[
+                    "variables"
+                ]
+            while True:
+                epoch_now = int(jax.device_get(state.epoch))
+                if bool(jax.device_get(state.stop)) or epoch_now >= cfg.epochs:
+                    break
+                # epoch_limit rides as a traced scalar: every segment
+                # reuses one compiled program
+                _, state = runner(
+                    variables, *common,
+                    init_state=state,
+                    epoch_limit=jnp.asarray(
+                        epoch_now + checkpoint_every, jnp.int32
+                    ),
+                    return_state=True,
+                )
+                save_checkpoint(
+                    seg_path,
+                    jax.device_get(state),
+                    step=int(jax.device_get(state.epoch)),
+                )
+            state = jax.device_get(state)
+            res = SplitResult(
+                test_metric=state.best_test_metric,
+                val_metric=state.best_val_metric,
+                val_loss=state.best_val_loss,
+                train_loss=state.last_train_loss,
+                epochs_run=state.epoch,
+            )
+        else:
+            res = jax.device_get(runner(variables, *common))
         results.append(res)
         epochs_total += int(res.epochs_run)
         if logger is not None:

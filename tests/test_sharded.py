@@ -545,3 +545,40 @@ def test_run_experiment_sharded_fennel_end_to_end(mesh):
         "texas", cfg, mesh, pad_multiple=64, exchange="halo"
     )
     assert out["test_mean"] > 0.5, out
+
+
+def test_sharded_checkpoint_resume_matches_uninterrupted(mesh, tmp_path):
+    """Sharded segmented checkpointing (VERDICT r1 weak #8): killing a
+    run between segments and resuming reproduces the uninterrupted
+    fused-loop result exactly (the segment boundary only moves the
+    while-loop carry through the host)."""
+    from acmgnn_tpu.train.config import TrainConfig
+    from acmgnn_tpu.train.trainer import run_experiment_sharded
+
+    cfg = TrainConfig(
+        model_type="acmgcn",
+        hidden=16,
+        epochs=20,
+        early_stopping=0,
+        num_splits=1,
+        fixed_splits=True,
+        dropout=0.4,
+        operator_format="coo",
+    )
+    full = run_experiment_sharded("texas", cfg, mesh, pad_multiple=64)
+
+    import dataclasses
+
+    ck = str(tmp_path / "ck")
+    cfg10 = dataclasses.replace(cfg, epochs=10)
+    run_experiment_sharded(
+        "texas", cfg10, mesh, pad_multiple=64,
+        checkpoint_dir=ck, checkpoint_every=4,
+    )
+    resumed = run_experiment_sharded(
+        "texas", cfg, mesh, pad_multiple=64,
+        checkpoint_dir=ck, checkpoint_every=4, resume=True,
+    )
+    assert np.isclose(resumed["test_mean"], full["test_mean"], atol=1e-6), (
+        resumed["test_mean"], full["test_mean"],
+    )
