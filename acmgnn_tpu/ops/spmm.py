@@ -194,9 +194,9 @@ def spmm_dual(op_low: SparseOp, z_low: jnp.ndarray, z_high: jnp.ndarray):
     gather row width (512B rows DMA far better than 256B) and half the
     index processing.  Backward inherits the same fusion through the
     concat/split.  Dense operators ride the same concat (one matmul
-    reads the [N, N] operator once for both channels — see also the
-    ``fused_dual_spmm`` Pallas kernel, which additionally finalizes the
-    high-pass subtraction in VMEM).
+    reads the [N, N] operator once for both channels; a Pallas kernel
+    that additionally finalized the subtraction in VMEM measured no
+    better and was retired — PERF.md "Ruled out: Pallas fused dual").
     """
     d = z_low.shape[1]
     both = spmm(op_low, jnp.concatenate([z_low, z_high], axis=1))
