@@ -412,8 +412,12 @@ def _bucket_spmm(
         c, v = cv
         return acc + chunk_sum(c, v), None
 
+    # seed the carry from chunk 0 (not zeros): under shard_map the
+    # operands are device-varying and a zeros init is unvarying, which
+    # trips the scan carry VMA check (first hit at twitch scale on the
+    # 8-device mesh — small-graph buckets never have nchunks > 1)
     out, _ = jax.lax.scan(
-        body, jnp.zeros((n_rows, d), jnp.float32), (cols, vals)
+        body, chunk_sum(cols[0], vals[0]), (cols[1:], vals[1:])
     )
     return out
 

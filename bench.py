@@ -199,9 +199,14 @@ LINKX_SCALE = {
 }
 
 
-def bench_epoch_linkx_scale(name, epochs=30):
+def bench_epoch_linkx_scale(name, epochs=30, reorder="none",
+                            hub_threshold=0, kc=0):
     """Full-batch epoch time on a matched-shape stand-in for one of the
-    reference's timed LINKX datasets (paper Table 16)."""
+    reference's timed LINKX datasets (paper Table 16).
+
+    ``reorder``/``hub_threshold``/``kc`` expose the locality/hub/
+    scan-chunk knobs for per-graph tuning probes (tools/arxiv_wall_probe).
+    """
     import os
 
     import jax
@@ -227,6 +232,8 @@ def bench_epoch_linkx_scale(name, epochs=30):
     data = GraphData(name=f"{name}-scale", adj=adj, features=features,
                      labels=labels)
 
+    if kc:
+        os.environ["ACMGNN_ELL_KC"] = str(kc)
     cfg = TrainConfig(
         model_type=spec["model"],
         hidden=64,
@@ -240,6 +247,8 @@ def bench_epoch_linkx_scale(name, epochs=30):
         metric="rocauc" if spec["rocauc"] else "acc",
         loss="bce" if spec["rocauc"] else "nll",
         operator_format="ell",
+        reorder=reorder,
+        ell_hub_threshold=hub_threshold,
         spmm_dtype=os.environ.get("ACMGNN_BENCH_DTYPE", "bfloat16"),
         joint=(os.environ.get("ACMGNN_BENCH_JOINT", "1") == "1"
                and spec["model"] != "acmsgc"),

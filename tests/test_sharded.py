@@ -582,3 +582,36 @@ def test_sharded_checkpoint_resume_matches_uninterrupted(mesh, tmp_path):
     assert np.isclose(resumed["test_mean"], full["test_mean"], atol=1e-6), (
         resumed["test_mean"], full["test_mean"],
     )
+
+
+def test_sharded_ell_multichunk_scan(mesh, monkeypatch):
+    """Multi-chunk ELL scan inside shard_map (regression: the zeros scan
+    carry was VMA-unvarying and tripped the carry check — only graphs
+    big enough for nchunks > 1 hit it, so force tiny chunk budgets)."""
+    import scipy.sparse as sp
+
+    from acmgnn_tpu.parallel.sharded import (
+        make_sharded_ell_op,
+        sharded_ell_spmm,
+    )
+
+    monkeypatch.setenv("ACMGNN_ELL_KC", "2")
+    monkeypatch.setenv("ACMGNN_ELL_CHUNK", "2")
+    rng = np.random.default_rng(0)
+    n = 96
+    dense = (rng.random((n, n)) < 0.15).astype(np.float64)  # deg ~14 > kc
+    np.fill_diagonal(dense, 0.0)
+    adj = sp.csr_matrix(np.maximum(dense, dense.T))
+    a_hat = row_normalized_adjacency(adj)
+    feats = rng.normal(size=(n, 8)).astype(np.float32)
+    for exchange in ("allgather", "halo"):
+        op, b = make_sharded_ell_op(
+            a_hat, mesh, pad_multiple=8, exchange=exchange
+        )
+        x = shard_node_array(feats, b, op.rows_per_part, mesh)
+        out = unpad_node_array(
+            np.asarray(sharded_ell_spmm(op, x, mesh)), b, op.rows_per_part
+        )
+        np.testing.assert_allclose(
+            out, np.asarray(a_hat.todense()) @ feats, rtol=1e-4, atol=1e-5
+        )
