@@ -70,6 +70,10 @@ def _add_train_args(p: argparse.ArgumentParser):
                         "faster], 1 off, -1 occupancy-auto)")
     p.add_argument("--joint", type=int, default=0,
                    help="paired train+eval loop (one 4-wide fused gather)")
+    p.add_argument("--hoist_first", type=int, default=0,
+                   help="first-layer input-side aggregation hoist "
+                        "(A(XW)=(AX)W): eval rides a precomputed A_hat X, "
+                        "the train input gather needs no backward")
     p.add_argument("--normalization", choices=["row", "sym"], default="row")
     p.add_argument("--stepwise", action="store_true",
                    help="per-epoch observable loop (OGB-style stats, "
@@ -144,6 +148,7 @@ def config_from_args(args) -> TrainConfig:
         partition=args.partition,
         spmm_dtype=args.spmm_dtype,
         joint=bool(args.joint),
+        hoist_first=bool(args.hoist_first),
         ell_hub_threshold=args.ell_hub_threshold,
         ell_block=args.ell_block,
     )

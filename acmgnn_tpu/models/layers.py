@@ -51,6 +51,12 @@ def _uniform(scale: float):
     return init
 
 
+# Above this input width the gather engine falls off its full descriptor
+# rate (measured cliff at 128 columns, PERF.md "gather-width cliff"), so
+# the hoisted input gather stops paying vs the projected [N, 2d] form.
+HOIST_MAX_COLS = 128
+
+
 class ACMConv(nn.Module):
     """Adaptive Channel Mixing graph convolution.
 
@@ -64,6 +70,16 @@ class ACMConv(nn.Module):
     structure_info: bool = False    # 4th structure channel (acmgcnp/pp only)
     use_layernorm: bool = False     # LN on channel outputs feeding attention
     nnodes: Optional[int] = None    # required when structure_info (for S)
+    # First-layer input-side aggregation hoist (variant 0 only): since no
+    # activation sits between projection and propagation,
+    # ``A_hat (X W) == (A_hat X) W`` (reference math
+    # /root/reference/ACM-Pytorch/models/layers.py:187-194), so a branch
+    # can aggregate its INPUT once and derive both channels with dense
+    # matmuls: ``z_low = (A x) W_L``, ``z_high = (x - A x) W_H``.  The
+    # input gather carries no backward sparse work (layer-1 inputs are
+    # data — no cotangent path), and branches fed the static feature
+    # matrix consume the precomputed ``x_agg`` with ZERO gathers.
+    input_hoist: bool = False
 
     def _make_lns(self, t: int):
         """LayerNorm submodules for the attention inputs (create once per
@@ -110,6 +126,8 @@ class ACMConv(nn.Module):
         x: jnp.ndarray,
         ops: Operators,
         x_eval: Optional[jnp.ndarray] = None,
+        x_agg: Optional[jnp.ndarray] = None,
+        x_eval_agg: Optional[jnp.ndarray] = None,
     ):
         """Forward one ACM layer.
 
@@ -118,6 +136,12 @@ class ACMConv(nn.Module):
         where the post-update eval forward and the next train forward
         share parameters.  Returns ``(out_train, out_eval)`` when given.
         Only the acmgcn/acmgcnp/acmgcnpp/acmsnowball paths support it.
+
+        ``x_agg``/``x_eval_agg``: precomputed ``A_hat @ x`` (resp.
+        ``A_hat @ x_eval``) for the input hoist — ONLY valid when the
+        corresponding input equals the array the aggregate was computed
+        from (the model container enforces this: static features, no
+        dropout).  Ignored unless ``input_hoist`` and ``variant=False``.
         """
         f_in = x.shape[-1]
         f_out = self.out_features
@@ -178,21 +202,65 @@ class ACMConv(nn.Module):
         # All channel aggregations of the call (2 per branch; 4 when a
         # paired eval branch rides along) share ONE fused gather
         # (spmm_multi) — the SpMM is descriptor-bound on TPU (PERF.md).
+        # With ``input_hoist`` (variant 0), a branch instead aggregates
+        # its input (precomputed aggregate or one [N, F] gather) and
+        # derives both channels by dense matmuls — see the class
+        # docstring for the commutation identity.
         paired = x_eval is not None
         branches = [x, x_eval] if paired else [x]
-        pre = []  # (z_low, z_high) per branch
-        for xb in branches:
-            if self.variant:  # ACMII: propagate post-activation features
-                pre.append((jax.nn.relu(xb @ w_low), jax.nn.relu(xb @ w_high)))
+        pre_aggs = [x_agg, x_eval_agg] if paired else [x_agg]
+        can_hoist = self.input_hoist and not self.variant
+        hoisted = [
+            can_hoist
+            and (pre_aggs[b] is not None or f_in <= HOIST_MAX_COLS)
+            for b in range(len(branches))
+        ]
+        need = [
+            b for b in range(len(branches))
+            if hoisted[b] and pre_aggs[b] is None
+        ]
+        if need:
+            # hoisted branches without a precomputed aggregate share one
+            # fused input gather; stop_gradient makes the no-backward
+            # property structural (layer-1 inputs are data — no cotangent
+            # reaches them), so no transpose gather is even traced
+            got = spmm_multi(
+                ops.adj_low,
+                [jax.lax.stop_gradient(branches[b]) for b in need],
+                [False] * len(need),
+            )
+            for b, y in zip(need, got):
+                pre_aggs[b] = y
+        proj = [b for b in range(len(branches)) if not hoisted[b]]
+        proj_aggs = {}
+        if proj:
+            pre = []  # (z_low, z_high) per projected branch
+            for b in proj:
+                xb = branches[b]
+                if self.variant:  # ACMII: propagate post-activation features
+                    pre.append(
+                        (jax.nn.relu(xb @ w_low), jax.nn.relu(xb @ w_high))
+                    )
+                else:
+                    pre.append((xb @ w_low, xb @ w_high))
+            zs = [z for pair in pre for z in pair]
+            flags = [False, True] * len(proj)
+            # eval-branch entries carry no gradient: they feed metrics
+            # only, so the backward transposes just the train prefix
+            n_train = sum(1 for b in proj if b == 0)
+            grad_prefix = (
+                2 * n_train if paired and n_train < len(proj) else None
+            )
+            outs_p = spmm_multi(ops.adj_low, zs, flags, grad_prefix=grad_prefix)
+            for i, b in enumerate(proj):
+                proj_aggs[b] = (outs_p[2 * i], outs_p[2 * i + 1])
+        aggs = []
+        for b in range(len(branches)):
+            if hoisted[b]:
+                y = pre_aggs[b]
+                aggs.extend([y @ w_low, (branches[b] - y) @ w_high])
             else:
-                pre.append((xb @ w_low, xb @ w_high))
-        zs = [z for pair in pre for z in pair]
-        flags = [False, True] * len(branches)
-        # eval-branch entries (3rd/4th) carry no gradient: they feed
-        # metrics only, so the backward transposes just the train prefix
-        aggs = spmm_multi(
-            ops.adj_low, zs, flags, grad_prefix=2 if paired else None
-        )
+                aggs.extend(list(proj_aggs[b]))
 
         use_structure = (
             self.structure_info

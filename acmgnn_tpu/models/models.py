@@ -69,8 +69,14 @@ class ACMGNN(nn.Module):
     init_layers_X: int = 1           # acmgcnpp skip-MLP depth
     alpha: float = 0.1               # gcnII initial-residual strength
     lamda: float = 0.5               # gcnII identity-map decay
+    # First-layer input hoist (ACMConv.input_hoist; variant-0 ACM stacks
+    # only): layer 1 aggregates its input instead of its projections, and
+    # no-dropout branches ride the precomputed ``ops.x_agg`` gather-free.
+    hoist_first: bool = False
 
-    def _conv(self, out_features: int, name: str) -> ACMConv:
+    def _conv(
+        self, out_features: int, name: str, input_hoist: bool = False
+    ) -> ACMConv:
         return ACMConv(
             out_features=out_features,
             model_type=self.model_type,
@@ -78,6 +84,7 @@ class ACMGNN(nn.Module):
             structure_info=self.structure_info,
             use_layernorm=self.use_layernorm,
             nnodes=self.nnodes,
+            input_hoist=input_hoist,
             name=name,
         )
 
@@ -126,12 +133,21 @@ class ACMGNN(nn.Module):
             if paired_eval:
                 xx_eval = jax.nn.relu(mlp_mod(x_eval, training=False))
 
+        # the train branch's input is dropout(X): its precomputed
+        # aggregate is valid only when dropout is a no-op
+        agg0 = ops.x_agg if self.hoist_first else None
+        train_agg = agg0 if (self.dropout == 0.0 or not training) else None
+
         if self.model_type in ("acmsnowball", "snowball"):
-            # densely-concatenated snowball stacking
+            # densely-concatenated snowball stacking; only block 0 sees
+            # the raw features, so only it can hoist
             blocks = []
             for k in range(self.nlayers):
                 inp = jnp.concatenate([x] + blocks, axis=1) if blocks else x
-                out = self._conv(self.nhid, f"gcn_{k}")(inp, ops)
+                out = self._conv(
+                    self.nhid, f"gcn_{k}",
+                    input_hoist=self.hoist_first and k == 0,
+                )(inp, ops, x_agg=train_agg if k == 0 else None)
                 blocks.append(drop(jax.nn.relu(out)))
             final_in = jnp.concatenate([x] + blocks, axis=1)
             return self._conv(self.nclass, f"gcn_{self.nlayers}")(final_in, ops)
@@ -162,17 +178,21 @@ class ACMGNN(nn.Module):
 
         # 2-layer stacks: acmgcn / acmgcnp / acmgcnpp / acmgraphsage /
         # gcn / mlp
-        conv0 = self._conv(self.nhid, "gcn_0")
+        conv0 = self._conv(self.nhid, "gcn_0", input_hoist=self.hoist_first)
         conv1 = self._conv(self.nclass, "gcn_1")
         if paired_eval:
-            fea1, fea1_eval = conv0(x, ops, x_eval=x_eval)
+            # the eval branch's layer-1 input is the raw feature matrix
+            # -> its precomputed aggregate is always valid
+            fea1, fea1_eval = conv0(
+                x, ops, x_eval=x_eval, x_agg=train_agg, x_eval_agg=agg0
+            )
             fea1 = drop(jax.nn.relu(fea1))
             fea1_eval = jax.nn.relu(fea1_eval)
             if self.model_type == "acmgcnpp":
                 fea1 = fea1 + xx
                 fea1_eval = fea1_eval + xx_eval
             return conv1(fea1, ops, x_eval=fea1_eval)
-        fea1 = conv0(x, ops)
+        fea1 = conv0(x, ops, x_agg=train_agg)
         fea1 = drop(jax.nn.relu(fea1))
         if self.model_type == "acmgcnpp":
             fea1 = fea1 + xx

@@ -247,6 +247,15 @@ class Operators(struct.PyTreeNode):
     # the 1-hop operator BEFORE exponentiating adj_low to A_hat^k
     # (/root/reference/ACM-Pytorch/utils.py:626-637).
     adj_hp_base: Optional[SparseOp] = None
+    # Precomputed ``A_hat @ X`` over the (normalized) feature matrix the
+    # model is fed — the first-layer hoist's static aggregate.  Because
+    # propagation commutes with the projection for variant-0 ACM layers
+    # (``A_hat (X W) == (A_hat X) W``), any layer-1 branch whose input is
+    # exactly X (the eval forward; the train forward when dropout == 0)
+    # derives BOTH channel aggregations from this array by dense matmuls —
+    # zero sparse gathers.  Built once by the trainer (prepare_data /
+    # run_experiment_sharded); None when hoisting is off.
+    x_agg: Optional[jnp.ndarray] = None
 
     @property
     def adj_hp(self) -> SparseOp:

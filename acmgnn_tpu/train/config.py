@@ -73,6 +73,13 @@ class TrainConfig:
     # rows at 512B); exactly equivalent to the sequential loop (tested).
     # Falls back to sequential for model types without a paired forward.
     joint: bool = False
+    # first-layer input-side aggregation hoist (variant-0 ACM stacks):
+    # layer 1 exploits ``A_hat (X W) == (A_hat X) W`` to aggregate its
+    # INPUT instead of its projections — the eval forward consumes a
+    # once-precomputed ``A_hat X`` with ZERO sparse gathers, and the
+    # train forward's input gather needs no backward transpose (inputs
+    # are data).  Mathematically exact; float association differs.
+    hoist_first: bool = False
     feature_normalize: Optional[bool] = None  # None => reference rule
 
     def resolve_layernorm(self) -> bool:
@@ -83,6 +90,16 @@ class TrainConfig:
         if self.use_layernorm is not None:
             return self.use_layernorm
         return self.model_type in ("acmgcnp", "acmgcnpp")
+
+    def resolve_hoist(self) -> bool:
+        """Hoisting applies only to variant-0 layer-1s whose input is the
+        feature matrix — the ACM stacks with a propagating first layer."""
+        return (
+            self.hoist_first
+            and not self.variant
+            and self.model_type
+            in ("acmgcn", "acmgcnp", "acmgcnpp", "acmsnowball")
+        )
 
     def resolve_feature_normalize(self) -> bool:
         """Features are row-normalized unless acmgcnp/pp with

@@ -85,6 +85,7 @@ def build_model(cfg: TrainConfig, nclass: int, nnodes: int) -> ACMGNN:
         init_layers_X=cfg.init_layers_X,
         alpha=cfg.alpha,
         lamda=cfg.lamda,
+        hoist_first=cfg.resolve_hoist(),
     )
 
 
@@ -703,7 +704,14 @@ def prepare_data(dataset: GraphData | str, cfg: TrainConfig):
     else:
         labels_onehot = labels.astype(np.float32)
         labels = labels.astype(np.int32)
-    return data, ops, jnp.asarray(features), jnp.asarray(labels), jnp.asarray(
+    x = jnp.asarray(features)
+    if cfg.resolve_hoist():
+        # precompute A_hat @ X once for the first-layer hoist (the eval
+        # forward's layer-1 aggregate; exact for train when dropout == 0)
+        from acmgnn_tpu.ops.spmm import spmm
+
+        ops = ops.replace(x_agg=jax.jit(spmm)(ops.adj_low, x))
+    return data, ops, x, jnp.asarray(labels), jnp.asarray(
         labels_onehot
     ), nclass
 
@@ -801,14 +809,26 @@ def run_experiment_sharded(
     x = shard_node_array(features, boundaries, rpp, mesh)
     labels = shard_node_array(labels_np.astype(np.int32), boundaries, rpp, mesh)
     labels_onehot = shard_node_array(onehot_np, boundaries, rpp, mesh)
+    if cfg.resolve_hoist():
+        # first-layer hoist aggregate, computed with the sharded operator
+        # itself so the result lands row-sharded like x
+        from acmgnn_tpu.ops.spmm import spmm as _spmm
+
+        ops = ops.replace(x_agg=jax.jit(_spmm)(ops.adj_low, x))
 
     n_padded = int(x.shape[0])
     model = build_model(cfg, nclass, n_padded)
     checkpointing = checkpoint_dir is not None and checkpoint_every > 0
-    # segmented execution needs the sequential runner's state plumbing
+    # segmented execution needs the sequential runner's state plumbing;
+    # the joint runner has no such plumbing (and no return_state arg)
+    joint_resolved = (
+        not checkpointing
+        and bool(cfg.joint)
+        and cfg.model_type in JOINT_CAPABLE
+    )
     runner = jax.jit(
         make_split_runner(model, cfg, joint=False if checkpointing else None),
-        static_argnames=("return_state",),
+        static_argnames=() if joint_resolved else ("return_state",),
     )
 
     rng = np.random.default_rng(cfg.seed)

@@ -128,6 +128,7 @@ def bench_epoch_twitch_scale(epochs=30, warmup=5, graph="uniform",
         ell_block=int(os.environ.get("ACMGNN_BENCH_BLOCK", "1")),
         spmm_dtype=os.environ.get("ACMGNN_BENCH_DTYPE", "bfloat16"),
         joint=os.environ.get("ACMGNN_BENCH_JOINT", "1") == "1",
+        hoist_first=os.environ.get("ACMGNN_BENCH_HOIST", "1") == "1",
     )
     data, ops, x, y, y1h, nclass = prepare_data(data, cfg)
     n = data.num_nodes
@@ -252,6 +253,7 @@ def bench_epoch_linkx_scale(name, epochs=30, reorder="none",
         spmm_dtype=os.environ.get("ACMGNN_BENCH_DTYPE", "bfloat16"),
         joint=(os.environ.get("ACMGNN_BENCH_JOINT", "1") == "1"
                and spec["model"] != "acmsgc"),
+        hoist_first=os.environ.get("ACMGNN_BENCH_HOIST", "1") == "1",
     )
     data, ops, x, y, y1h, nclass = prepare_data(data, cfg)
     rng = np.random.default_rng(1)

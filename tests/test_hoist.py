@@ -1,0 +1,170 @@
+"""First-layer input-hoist parity: ``A_hat (X W) == (A_hat X) W``.
+
+The hoist (ACMConv.input_hoist / TrainConfig.hoist_first) re-associates
+layer 1's propagation so the eval forward rides a precomputed ``A_hat X``
+and the train forward's input gather needs no backward transpose.  It must
+be numerically equivalent (up to float association) to the projected path
+for every model/format/protocol combination that enables it.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from acmgnn_tpu.models.models import ACMGNN
+from acmgnn_tpu.ops.graph import precompute_operators
+from acmgnn_tpu.ops.spmm import spmm
+from acmgnn_tpu.train.config import TrainConfig
+from acmgnn_tpu.train.trainer import run_experiment
+
+
+HOIST_MODELS = ("acmgcn", "acmgcnp", "acmgcnpp", "acmsnowball")
+
+
+def _build(small_graph, model_type, fmt, dropout=0.0, hoist=False):
+    adj, features, labels = small_graph
+    structure = model_type in ("acmgcnp", "acmgcnpp")
+    ops = precompute_operators(adj, fmt=fmt, structure_info=structure)
+    x = jnp.asarray(features)
+    if hoist:
+        ops = ops.replace(x_agg=spmm(ops.adj_low, x))
+    model = ACMGNN(
+        nhid=8,
+        nclass=4,
+        model_type=model_type,
+        nlayers=2,
+        nnodes=adj.shape[0],
+        structure_info=structure,
+        dropout=dropout,
+        hoist_first=hoist,
+    )
+    return model, ops, x
+
+
+@pytest.mark.parametrize("model_type", HOIST_MODELS)
+@pytest.mark.parametrize("fmt", ["dense", "ell"])
+def test_hoist_eval_forward_matches(small_graph, model_type, fmt):
+    """Eval forward (precomputed aggregate, zero gathers) == projected."""
+    base, ops0, x = _build(small_graph, model_type, fmt, hoist=False)
+    hoisted, ops1, _ = _build(small_graph, model_type, fmt, hoist=True)
+    params = base.init(jax.random.key(0), x, ops0)
+    y0 = base.apply(params, x, ops0)
+    y1 = hoisted.apply(params, x, ops1)
+    np.testing.assert_allclose(
+        np.asarray(y0), np.asarray(y1), rtol=2e-5, atol=2e-5
+    )
+
+
+@pytest.mark.parametrize("model_type", ("acmgcn", "acmgcnpp"))
+@pytest.mark.parametrize("dropout", (0.0, 0.4))
+def test_hoist_train_grads_match(small_graph, model_type, dropout):
+    """Train loss AND parameter gradients match the projected path.
+
+    dropout=0: train branch consumes the precomputed aggregate.
+    dropout>0: train branch hoists via the F-wide input gather (the
+    fixture's F=24 <= HOIST_MAX_COLS) with identical dropout masks.
+    """
+    base, ops0, x = _build(
+        small_graph, model_type, "ell", dropout=dropout, hoist=False
+    )
+    hoisted, ops1, _ = _build(
+        small_graph, model_type, "ell", dropout=dropout, hoist=True
+    )
+    params = base.init(jax.random.key(0), x, ops0)
+
+    def loss(model, ops):
+        def f(p):
+            logits = model.apply(
+                p, x, ops, training=True, rngs={"dropout": jax.random.key(7)}
+            )
+            return jnp.sum(logits**2)
+
+        return f
+
+    l0, g0 = jax.value_and_grad(loss(base, ops0))(params)
+    l1, g1 = jax.value_and_grad(loss(hoisted, ops1))(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=2e-5)
+    flat0 = jax.tree_util.tree_leaves_with_path(g0)
+    flat1 = dict(jax.tree_util.tree_leaves_with_path(g1))
+    for path, leaf in flat0:
+        np.testing.assert_allclose(
+            np.asarray(leaf),
+            np.asarray(flat1[path]),
+            rtol=5e-4,
+            atol=1e-5,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
+@pytest.mark.parametrize("model_type", ("acmgcn", "acmgcnpp"))
+def test_hoist_paired_eval_matches(small_graph, model_type):
+    """Joint paired forward: both branches match the unhoisted pair."""
+    base, ops0, x = _build(
+        small_graph, model_type, "ell", dropout=0.4, hoist=False
+    )
+    hoisted, ops1, _ = _build(
+        small_graph, model_type, "ell", dropout=0.4, hoist=True
+    )
+    params = base.init(jax.random.key(0), x, ops0)
+    kw = dict(
+        training=True, paired_eval=True, rngs={"dropout": jax.random.key(3)}
+    )
+    t0, e0 = base.apply(params, x, ops0, **kw)
+    t1, e1 = hoisted.apply(params, x, ops1, **kw)
+    np.testing.assert_allclose(
+        np.asarray(t0), np.asarray(t1), rtol=2e-5, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(e0), np.asarray(e1), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_hoist_wide_features_fall_back(small_graph):
+    """F > HOIST_MAX_COLS with dropout and no valid aggregate: the train
+    branch must take the projected path BIT-EXACTLY (no hoist applied)."""
+    adj, features, _ = small_graph
+    rng = np.random.default_rng(0)
+    wide = rng.normal(size=(adj.shape[0], 200)).astype(np.float32)
+    ops = precompute_operators(adj, fmt="ell")
+    x = jnp.asarray(wide)
+
+    def logits(hoist):
+        o = ops.replace(x_agg=spmm(ops.adj_low, x)) if hoist else ops
+        m = ACMGNN(nhid=8, nclass=4, dropout=0.4, hoist_first=hoist)
+        p = m.init(jax.random.key(0), x, o)
+        return m.apply(
+            p, x, o, training=True, rngs={"dropout": jax.random.key(5)}
+        )
+
+    np.testing.assert_array_equal(
+        np.asarray(logits(False)), np.asarray(logits(True))
+    )
+
+
+def test_hoist_end_to_end_accuracy(small_graph):
+    """run_experiment with hoist_first reaches the same test accuracy."""
+    adj, features, labels = small_graph
+    from acmgnn_tpu.ops.graph import GraphData
+
+    data = GraphData(
+        name="synthetic", adj=adj, features=features, labels=labels
+    )
+    common = dict(
+        model_type="acmgcn", hidden=8, epochs=40, early_stopping=0,
+        num_splits=2, lr=0.05, dropout=0.3, seed=1,
+    )
+    r0 = run_experiment(data, TrainConfig(**common))
+    r1 = run_experiment(data, TrainConfig(hoist_first=True, **common))
+    # identical dropout masks + float-association-level deltas only
+    assert abs(r0["test_mean"] - r1["test_mean"]) < 0.06
+
+
+def test_resolve_hoist_gating():
+    """Hoist only fires for variant-0 propagating ACM first layers."""
+    assert TrainConfig(hoist_first=True).resolve_hoist()
+    assert not TrainConfig(hoist_first=True, variant=True).resolve_hoist()
+    assert not TrainConfig(hoist_first=True, model_type="acmsgc").resolve_hoist()
+    assert not TrainConfig(hoist_first=True, model_type="gcn").resolve_hoist()
+    assert not TrainConfig().resolve_hoist()
