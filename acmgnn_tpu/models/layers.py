@@ -160,6 +160,15 @@ class ACMConv(nn.Module):
 
         if self.model_type in ("sgc", "gcn", "snowball"):
             w_low = self.param("weight_low", w_init, (f_in, f_out))
+            if self.input_hoist and not self.variant:
+                # same commutation as the ACM hoist; these layers' inputs
+                # are never dropout'd, so the precomputed aggregate is
+                # valid in training too -> zero layer-1 sparse work
+                y = x_agg
+                if y is None and f_in <= HOIST_MAX_COLS:
+                    y = spmm(ops.adj_low, jax.lax.stop_gradient(x))
+                if y is not None:
+                    return y @ w_low
             return spmm(ops.adj_low, x @ w_low)
 
         if self.model_type == "acmgraphsage":

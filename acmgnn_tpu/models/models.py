@@ -133,10 +133,16 @@ class ACMGNN(nn.Module):
             if paired_eval:
                 xx_eval = jax.nn.relu(mlp_mod(x_eval, training=False))
 
-        # the train branch's input is dropout(X): its precomputed
-        # aggregate is valid only when dropout is a no-op
+        # ACM-family inputs were dropout'd above: their precomputed
+        # aggregate is valid only when dropout is a no-op.  Non-ACM
+        # stacks (gcn/sgc/snowball) feed raw X — always valid.
         agg0 = ops.x_agg if self.hoist_first else None
-        train_agg = agg0 if (self.dropout == 0.0 or not training) else None
+        pre_dropped = self.model_type in _ACM_FAMILY
+        train_agg = (
+            agg0
+            if (not pre_dropped or self.dropout == 0.0 or not training)
+            else None
+        )
 
         if self.model_type in ("acmsnowball", "snowball"):
             # densely-concatenated snowball stacking; only block 0 sees
@@ -153,7 +159,13 @@ class ACMGNN(nn.Module):
             return self._conv(self.nclass, f"gcn_{self.nlayers}")(final_in, ops)
 
         if self.model_type in ("acmsgc", "sgc"):
-            return self._conv(self.nclass, "gcn_0")(x, ops)
+            # sgc only: ops.adj_low is already A_hat^k, so the hoisted
+            # aggregate is A_hat^k X (acmsgc's split low/high operators
+            # don't hoist)
+            hoist_sgc = self.hoist_first and self.model_type == "sgc"
+            return self._conv(
+                self.nclass, "gcn_0", input_hoist=hoist_sgc
+            )(x, ops, x_agg=train_agg if hoist_sgc else None)
 
         if self.model_type == "graphsage":
             fea1 = drop(jax.nn.relu(SAGEConv(self.nhid, name="sage_0")(x, ops)))

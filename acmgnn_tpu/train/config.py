@@ -93,12 +93,14 @@ class TrainConfig:
 
     def resolve_hoist(self) -> bool:
         """Hoisting applies only to variant-0 layer-1s whose input is the
-        feature matrix — the ACM stacks with a propagating first layer."""
+        feature matrix — the ACM stacks with a propagating first layer,
+        plus the plain gcn/sgc/snowball baselines (raw-X inputs)."""
         return (
             self.hoist_first
             and not self.variant
             and self.model_type
-            in ("acmgcn", "acmgcnp", "acmgcnpp", "acmsnowball")
+            in ("acmgcn", "acmgcnp", "acmgcnpp", "acmsnowball",
+                "gcn", "sgc", "snowball")
         )
 
     def resolve_feature_normalize(self) -> bool:

@@ -161,10 +161,48 @@ def test_hoist_end_to_end_accuracy(small_graph):
     assert abs(r0["test_mean"] - r1["test_mean"]) < 0.06
 
 
+@pytest.mark.parametrize("model_type", ("gcn", "sgc", "snowball"))
+def test_hoist_baseline_models_match(small_graph, model_type):
+    """gcn/sgc/snowball layer-1 inputs are raw X -> the precomputed
+    aggregate is valid even in training; outputs and grads must match."""
+    base, ops0, x = _build(
+        small_graph, model_type, "ell", dropout=0.4, hoist=False
+    )
+    hoisted, ops1, _ = _build(
+        small_graph, model_type, "ell", dropout=0.4, hoist=True
+    )
+    params = base.init(jax.random.key(0), x, ops0)
+    y0 = base.apply(params, x, ops0)
+    y1 = hoisted.apply(params, x, ops1)
+    np.testing.assert_allclose(
+        np.asarray(y0), np.asarray(y1), rtol=2e-5, atol=2e-5
+    )
+
+    def loss(model, ops):
+        def f(p):
+            logits = model.apply(
+                p, x, ops, training=True, rngs={"dropout": jax.random.key(7)}
+            )
+            return jnp.sum(logits**2)
+
+        return f
+
+    l0, g0 = jax.value_and_grad(loss(base, ops0))(params)
+    l1, g1 = jax.value_and_grad(loss(hoisted, ops1))(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=2e-5)
+    flat1 = dict(jax.tree_util.tree_leaves_with_path(g1))
+    for path, leaf in jax.tree_util.tree_leaves_with_path(g0):
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat1[path]), rtol=5e-4, atol=1e-5,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
 def test_resolve_hoist_gating():
     """Hoist only fires for variant-0 propagating ACM first layers."""
     assert TrainConfig(hoist_first=True).resolve_hoist()
     assert not TrainConfig(hoist_first=True, variant=True).resolve_hoist()
     assert not TrainConfig(hoist_first=True, model_type="acmsgc").resolve_hoist()
-    assert not TrainConfig(hoist_first=True, model_type="gcn").resolve_hoist()
+    assert TrainConfig(hoist_first=True, model_type="gcn").resolve_hoist()
+    assert not TrainConfig(hoist_first=True, model_type="mlp").resolve_hoist()
     assert not TrainConfig().resolve_hoist()

@@ -45,7 +45,7 @@ OURS_F32 = {"squirrel": (66.00, 1.40), "cora": (87.81, 1.49),
             "film": (36.03, 1.31)}
 
 
-def run_bce_rocauc():
+def run_bce_rocauc(hoist=False):
     """The headline config on a BCE + ROC-AUC task: the planted binary
     LINKX-shaped graph from tools/geometric_oracle.py (f32 oracle: ours
     93.80 +- 0.21, reference's own code 93.76 +- 0.59 — PARITY.md)."""
@@ -75,6 +75,7 @@ def run_bce_rocauc():
         operator_format="ell",
         spmm_dtype="bfloat16",
         joint=True,
+        hoist_first=hoist,
     )
     t0 = time.time()
     out = run_experiment(data, cfg)
@@ -94,6 +95,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--extended", action="store_true",
                     help="run the remaining Table-3 datasets + BCE task")
+    ap.add_argument("--hoist", action="store_true",
+                    help="also enable the first-layer input hoist (the "
+                         "round-2 headline config)")
     args = ap.parse_args()
     configs = EXTENDED_CONFIGS if args.extended else CONFIGS
     for ds, lr, wd, dropout, sinfo in configs:
@@ -112,6 +116,7 @@ def main():
             operator_format="ell",     # force the gather path everywhere
             spmm_dtype="bfloat16",
             joint=True,
+            hoist_first=args.hoist,
         )
         t0 = time.time()
         out = run_experiment(ds, cfg)
@@ -124,7 +129,7 @@ def main():
             "wall_s": round(time.time() - t0, 1),
         }), flush=True)
     if args.extended:
-        run_bce_rocauc()
+        run_bce_rocauc(hoist=args.hoist)
 
 
 if __name__ == "__main__":
