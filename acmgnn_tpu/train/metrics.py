@@ -37,38 +37,55 @@ def masked_bce_with_logits(
     return jnp.sum(row_mean * mask) / jnp.maximum(jnp.sum(mask), 1)
 
 
-def _binary_auc_masked(scores: jnp.ndarray, y: jnp.ndarray, mask: jnp.ndarray):
-    """Mann-Whitney AUC with average-rank tie handling over masked nodes.
+def _sort_scores(scores: jnp.ndarray):
+    """Mask-independent ascending sort of the score vector.
 
-    Exactly sklearn.roc_auc_score on the masked subset; returns NaN when a
-    class is absent.
-    """
-    n = scores.shape[0]
-    neg_inf = jnp.finfo(scores.dtype).min
-    key = jnp.where(mask, scores, neg_inf)
-    order = jnp.argsort(key)  # ascending; unmasked rows sink to the front
-    s_sorted = key[order]
-    y_sorted = jnp.where(mask[order], y[order], -1)  # -1 = ignore
-    m_sorted = mask[order].astype(scores.dtype)
-
-    # rank among masked elements (1-based, ascending)
-    ranks = jnp.cumsum(m_sorted)
-    # average ranks across tie groups (only masked rows can tie: unmasked
-    # share the neg_inf key but have zero weight below)
+    The expensive O(N log N) step of the rank AUC; shared across every
+    mask evaluated on the same scores (``masked_rocauc_multi``) — the
+    full-graph protocol evaluates val+test (and sometimes train) AUC on
+    ONE forward's logits every epoch."""
+    order = jnp.argsort(scores)
+    s_sorted = scores[order]
+    # tie groups over the sorted scores (mask-independent too)
     new_group = jnp.concatenate(
         [jnp.ones((1,), bool), s_sorted[1:] != s_sorted[:-1]]
     )
     group_id = jnp.cumsum(new_group) - 1
-    group_min = jax.ops.segment_min(ranks, group_id, num_segments=n)
-    group_max = jax.ops.segment_max(ranks, group_id, num_segments=n)
+    return order, s_sorted, group_id
+
+
+def _auc_from_sorted(order, group_id, y, mask, dtype):
+    """Mann-Whitney AUC with average-rank tie handling over masked nodes,
+    from a precomputed mask-independent sort.
+
+    Exactly sklearn.roc_auc_score on the masked subset; returns NaN when a
+    class is absent.  Unmasked rows may share tie groups with masked
+    ones; they carry zero rank weight and are excluded from the group
+    min/max, so the masked average-rank is unaffected.
+    """
+    n = order.shape[0]
+    m_sorted = mask[order].astype(dtype)
+    y_sorted = jnp.where(mask[order], y[order], -1)  # -1 = ignore
+
+    # rank among masked elements (1-based, ascending)
+    ranks = jnp.cumsum(m_sorted)
+    masked_rank_lo = jnp.where(m_sorted > 0, ranks, jnp.inf)
+    masked_rank_hi = jnp.where(m_sorted > 0, ranks, -jnp.inf)
+    group_min = jax.ops.segment_min(masked_rank_lo, group_id, num_segments=n)
+    group_max = jax.ops.segment_max(masked_rank_hi, group_id, num_segments=n)
     avg_rank = (group_min[group_id] + group_max[group_id]) / 2.0
 
-    pos = (y_sorted == 1).astype(scores.dtype)
+    pos = (y_sorted == 1).astype(dtype)
     n_pos = jnp.sum(pos)
     n_neg = jnp.sum(m_sorted) - n_pos
-    rank_sum = jnp.sum(avg_rank * pos)
+    rank_sum = jnp.sum(jnp.where(pos > 0, avg_rank, 0.0))
     auc = (rank_sum - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
     return jnp.where((n_pos > 0) & (n_neg > 0), auc, jnp.nan)
+
+
+def _binary_auc_masked(scores: jnp.ndarray, y: jnp.ndarray, mask: jnp.ndarray):
+    order, _, group_id = _sort_scores(scores)
+    return _auc_from_sorted(order, group_id, y, mask, scores.dtype)
 
 
 def masked_rocauc(logits: jnp.ndarray, labels: jnp.ndarray, mask: jnp.ndarray):
@@ -79,11 +96,30 @@ def masked_rocauc(logits: jnp.ndarray, labels: jnp.ndarray, mask: jnp.ndarray):
     - multilabel: per-column AUC on raw logits, averaged over columns
       where both classes appear.
     """
+    return masked_rocauc_multi(logits, labels, (mask,))[0]
+
+
+def masked_rocauc_multi(logits: jnp.ndarray, labels: jnp.ndarray, masks):
+    """ROC-AUC for SEVERAL masks over one set of logits, sharing the
+    O(N log N) score sort (the dominant eval cost at genius scale —
+    421k-row argsort per mask otherwise).  Returns one AUC per mask,
+    each exactly ``masked_rocauc(logits, labels, mask)``."""
     if labels.ndim == 1 or labels.shape[-1] == 1:
         lab = labels.reshape(-1)
         scores = jax.nn.softmax(logits, axis=-1)[:, 1]
-        return _binary_auc_masked(scores, lab, mask)
-    aucs = jax.vmap(
-        lambda s, y: _binary_auc_masked(s, y, mask), in_axes=(1, 1)
-    )(logits, labels)
-    return jnp.nanmean(aucs)
+        order, _, group_id = _sort_scores(scores)
+        return tuple(
+            _auc_from_sorted(order, group_id, lab, m, scores.dtype)
+            for m in masks
+        )
+    orders, group_ids = jax.vmap(
+        lambda s: (lambda o, _, g: (o, g))(*_sort_scores(s)), in_axes=1
+    )(logits)
+    outs = []
+    for m in masks:
+        aucs = jax.vmap(
+            lambda o, g, y: _auc_from_sorted(o, g, y, m, logits.dtype),
+            in_axes=(0, 0, 1),
+        )(orders, group_ids, labels)
+        outs.append(jnp.nanmean(aucs))
+    return tuple(outs)

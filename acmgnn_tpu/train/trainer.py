@@ -42,7 +42,7 @@ from acmgnn_tpu.train.metrics import (
     masked_accuracy,
     masked_bce_with_logits,
     masked_nll,
-    masked_rocauc,
+    masked_rocauc_multi,
 )
 from acmgnn_tpu.utils.resilience import retry_transient
 
@@ -175,17 +175,21 @@ def make_split_runner(model: ACMGNN, cfg: TrainConfig, tx=None, joint=None):
         return loss, updates
 
     def metrics_from_logits(logits, labels, labels_onehot, masks):
+        train_mask, val_mask, test_mask = masks
         if use_rocauc:
-            metric = lambda m: masked_rocauc(logits, labels, m)
+            # one shared score sort serves both masks (metrics.py)
+            val_metric, test_metric = masked_rocauc_multi(
+                logits, labels, (val_mask, test_mask)
+            )
         else:
-            metric = lambda m: masked_accuracy(logits, labels, m)
+            val_metric = masked_accuracy(logits, labels, val_mask)
+            test_metric = masked_accuracy(logits, labels, test_mask)
         if use_bce:
             loss_of = lambda m: masked_bce_with_logits(logits, labels_onehot, m)
         else:
             log_probs = jax.nn.log_softmax(logits, axis=1)
             loss_of = lambda m: masked_nll(log_probs, labels, m)
-        train_mask, val_mask, test_mask = masks
-        return loss_of(val_mask), metric(val_mask), metric(test_mask)
+        return loss_of(val_mask), val_metric, test_metric
 
     def eval_metrics(variables, ops, x, labels, labels_onehot, masks):
         logits = model.apply(variables, x, ops, training=False)
@@ -485,11 +489,14 @@ def make_epoch_fns(model: ACMGNN, cfg: TrainConfig, tx=None):
     @jax.jit
     def eval_epoch(variables, ops, x, labels, labels_onehot, masks):
         logits = model.apply(variables, x, ops, training=False)
-        if use_rocauc:
-            metric = lambda m: masked_rocauc(logits, labels, m)
-        else:
-            metric = lambda m: masked_accuracy(logits, labels, m)
         train_mask, val_mask, test_mask = masks
+        if use_rocauc:
+            # one shared score sort serves all three masks (metrics.py)
+            metrics = masked_rocauc_multi(logits, labels, masks)
+        else:
+            metrics = tuple(
+                masked_accuracy(logits, labels, m) for m in masks
+            )
         if use_bce:
             val_loss = masked_bce_with_logits(logits, labels_onehot, val_mask)
         else:
@@ -497,9 +504,9 @@ def make_epoch_fns(model: ACMGNN, cfg: TrainConfig, tx=None):
                 jax.nn.log_softmax(logits, axis=1), labels, val_mask
             )
         return {
-            "train_metric": metric(train_mask),
-            "val_metric": metric(val_mask),
-            "test_metric": metric(test_mask),
+            "train_metric": metrics[0],
+            "val_metric": metrics[1],
+            "test_metric": metrics[2],
             "val_loss": val_loss,
         }
 

@@ -76,6 +76,39 @@ def test_masked_rocauc_matches_sklearn():
     assert got == pytest.approx(want, abs=1e-6)
 
 
+def test_masked_rocauc_multi_shared_sort():
+    """The shared-sort multi-mask AUC equals per-mask masked_rocauc /
+    sklearn for masks with overlapping tie groups, binary + multilabel."""
+    from acmgnn_tpu.train.metrics import masked_rocauc_multi
+
+    sklearn = pytest.importorskip("sklearn.metrics")
+    rng = np.random.default_rng(5)
+    n = 300
+    labels = rng.integers(0, 2, n)
+    logits = np.round(rng.normal(size=(n, 2)), 1).astype(np.float32)
+    logits[labels == 1, 1] += 1.0
+    masks = tuple((rng.random(n) < p) for p in (0.5, 0.25, 0.25))
+    got = masked_rocauc_multi(
+        jnp.asarray(logits), jnp.asarray(labels), tuple(map(jnp.asarray, masks))
+    )
+    scores = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1)[:, 1])
+    for g, m in zip(got, masks):
+        want = sklearn.roc_auc_score(labels[m], scores[m])
+        assert float(g) == pytest.approx(want, abs=1e-6)
+
+    # multilabel: per-column AUC on raw logits, nan-averaged
+    y_ml = rng.integers(0, 2, size=(n, 3))
+    sc_ml = np.round(rng.normal(size=(n, 3)), 1).astype(np.float32)
+    got_ml = masked_rocauc_multi(
+        jnp.asarray(sc_ml), jnp.asarray(y_ml), tuple(map(jnp.asarray, masks))
+    )
+    for g, m in zip(got_ml, masks):
+        per_col = [
+            sklearn.roc_auc_score(y_ml[m, c], sc_ml[m, c]) for c in range(3)
+        ]
+        assert float(g) == pytest.approx(np.mean(per_col), abs=1e-6)
+
+
 # ---------------------------------------------------------------------------
 # optimizer parity: torch-Adam-style coupled L2
 # ---------------------------------------------------------------------------
