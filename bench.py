@@ -108,11 +108,12 @@ def bench_epoch_twitch_scale(epochs=30, warmup=5, graph="uniform",
     import os
 
     # Headline configuration: joint paired train+eval loop with bf16
-    # gather rows.  The fused 4-wide gather stays at 512B rows —
-    # descriptor-bound — so the 2x descriptor halving materializes
-    # (measured 259 vs 310 ms/epoch; tools/joint_bf16_probe.py).
-    # Accuracy-neutral on the full reference protocol
-    # (tools/bf16_parity_probe.py; PARITY.md).
+    # gather rows (measured 259 vs 310 ms/epoch;
+    # tools/joint_bf16_probe.py) plus the first-layer input hoist
+    # (A(XW)=(AX)W: gather-free eval branch, backward-free train input
+    # gather — 248 -> 157 ms/epoch, PERF.md round 2).  Accuracy-neutral
+    # on the full reference protocol
+    # (tools/bf16_parity_probe.py [--hoist]; PARITY.md).
     cfg = TrainConfig(
         model_type="acmgcnp",
         hidden=64,
