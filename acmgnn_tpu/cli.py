@@ -278,6 +278,66 @@ def cmd_synthetic_train(args):
     print(json.dumps(out))
 
 
+def cmd_predict(args):
+    """Inference surface: restore a trained checkpoint (written by
+    ``train --checkpoint_dir``) and emit per-node predictions.
+
+    The reference has no inference path at all — model selection there
+    only snapshots the test *number* (SURVEY.md §5); here trained
+    weights round-trip to deployable predictions.
+    """
+    import jax
+    import numpy as np
+
+    from acmgnn_tpu.train.trainer import build_model, prepare_data
+    from acmgnn_tpu.utils.checkpoint import restore_checkpoint
+
+    cfg = config_from_args(args)
+    data, ops, x, labels, labels_onehot, nclass = prepare_data(
+        args.dataset, cfg
+    )
+    model = build_model(cfg, nclass, data.num_nodes)
+    snap = restore_checkpoint(args.checkpoint)
+    variables = jax.tree_util.tree_map(jnp_asarray, snap["variables"])
+
+    logits = jax.device_get(
+        jax.jit(lambda v, xx, o: model.apply(v, xx, o, training=False))(
+            variables, x, ops
+        )
+    )
+    preds = np.argmax(logits, axis=1)
+    probs = np.asarray(jax.nn.softmax(logits, axis=1))
+    if data.perm is not None:
+        # arrays are in reorder-permuted space; write in original node ids
+        inv = np.empty_like(data.perm)
+        inv[data.perm] = np.arange(len(data.perm))
+        logits, preds, probs = logits[inv], preds[inv], probs[inv]
+    out_path = args.output or f"{args.dataset}_predictions.npz"
+    np.savez(out_path, logits=logits, preds=preds, probs=probs)
+
+    summary = {
+        "dataset": args.dataset,
+        "model": cfg.model_type,
+        "checkpoint": args.checkpoint,
+        "step": int(snap.get("step", 0)),
+        "nodes": int(preds.shape[0]),
+        "classes": int(nclass),
+        "output": out_path,
+    }
+    lab = np.asarray(jax.device_get(labels))
+    if lab.ndim == 1:  # single-label: report full-graph agreement
+        if data.perm is not None:
+            lab = lab[inv]
+        summary["label_agreement"] = round(float((preds == lab).mean()), 4)
+    print(json.dumps(summary))
+
+
+def jnp_asarray(a):
+    import jax.numpy as jnp
+
+    return jnp.asarray(a)
+
+
 def cmd_homophily(args):
     from acmgnn_tpu.data import homophily as H
     from acmgnn_tpu.data.registry import load_dataset
@@ -342,6 +402,17 @@ def main(argv=None):
     p_h = sub.add_parser("homophily")
     p_h.add_argument("--dataset", default="texas")
     p_h.set_defaults(fn=cmd_homophily)
+
+    p_pred = sub.add_parser(
+        "predict", help="restore a checkpoint and emit per-node predictions"
+    )
+    _add_train_args(p_pred)
+    p_pred.add_argument("--checkpoint", required=True,
+                        help="checkpoint path (e.g. <dir>/split0_best)")
+    p_pred.add_argument("--output", default="",
+                        help="output .npz (logits/preds/probs); default "
+                             "<dataset>_predictions.npz")
+    p_pred.set_defaults(fn=cmd_predict)
 
     args = parser.parse_args(argv)
     args.fn(args)

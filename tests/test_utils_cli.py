@@ -189,6 +189,39 @@ def test_cli_gen_graphs_command(tmp_path, capsys):
     assert "wrote 1 graphs" in capsys.readouterr().out
 
 
+def test_cli_predict_roundtrip(tmp_path, capsys):
+    """train --checkpoint_dir, then predict from the saved best weights:
+    the inference surface the reference lacks entirely."""
+    import numpy as np
+
+    from acmgnn_tpu.cli import main
+
+    common = [
+        "--dataset", "texas", "--model", "acmgcn", "--fixed_splits", "1",
+    ]
+    main([
+        "train", *common, "--epochs", "40", "--early_stopping", "0",
+        "--num_splits", "1", "--checkpoint_dir", str(tmp_path),
+        "--log_dir", str(tmp_path / "logs"),
+    ])
+    capsys.readouterr()
+    out_npz = tmp_path / "pred.npz"
+    main([
+        "predict", *common,
+        "--checkpoint", str(tmp_path / "split0_best"),
+        "--output", str(out_npz),
+    ])
+    summary = json.loads(capsys.readouterr().out.strip())
+    z = np.load(out_npz)
+    assert z["preds"].shape == (183,)
+    assert z["logits"].shape == z["probs"].shape == (183, 5)
+    np.testing.assert_allclose(z["probs"].sum(axis=1), 1.0, rtol=1e-5)
+    assert (np.argmax(z["logits"], axis=1) == z["preds"]).all()
+    # trained weights must beat chance by far on the full graph
+    assert summary["label_agreement"] > 0.6
+    assert summary["step"] >= 0
+
+
 def test_retry_transient():
     from acmgnn_tpu.utils.resilience import retry_transient
 
