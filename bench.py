@@ -159,7 +159,14 @@ def bench_epoch_twitch_scale(epochs=30, warmup=5, graph="uniform",
     jax.device_get(res)
     dt = time.perf_counter() - t0
     epoch_ms = 1000.0 * dt / epochs
-    edges_per_epoch = 8 * ops.adj_low.nnz  # 2 layers x (2 fwd + 2 bwd) SpMM
+    # Adjacency traversals per epoch under the joint paired loop.  The
+    # fused gather (spmm_multi) makes one traversal per CALL, however
+    # many operands ride it: layer-2 fwd (train+eval fused) + layer-2
+    # bwd transpose = 2; layer-1 adds one stop-gradient input gather
+    # when hoisted (eval branch reads the precomputed aggregate), or a
+    # fused fwd + bwd transpose pair when not.
+    traversals = 3 if cfg.resolve_hoist() else 4
+    edges_per_epoch = traversals * ops.adj_low.nnz
     name = "acmgcnp_twitch_gamers_scale_epoch_ms"
     if graph != "uniform":
         name = f"acmgcnp_twitch_gamers_scale_{graph}_epoch_ms"
@@ -170,7 +177,8 @@ def bench_epoch_twitch_scale(epochs=30, warmup=5, graph="uniform",
         "vs_baseline": round(BASELINE_EPOCH_MS / epoch_ms, 3),
         "detail": {
             "nnz": int(ops.adj_low.nnz),
-            "spmm_edges_per_s": round(edges_per_epoch / (dt / epochs)),
+            "gather_edges_per_s": round(edges_per_epoch / (dt / epochs)),
+            "adj_traversals_per_epoch": traversals,
             "epochs": epochs,
             "hub_threshold": hub_threshold,
             "device": str(jax.devices()[0]),
