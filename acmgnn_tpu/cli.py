@@ -103,6 +103,9 @@ def _add_train_args(p: argparse.ArgumentParser):
                         "(shrinks halo volume on community graphs)")
     p.add_argument("--log_dir", default="./logs")
     p.add_argument("--results_csv", default="")
+    p.add_argument("--profile_dir", default="",
+                   help="capture a jax.profiler trace of the whole run "
+                        "to this directory (view with XProf/TensorBoard)")
 
 
 # datasets the reference trains with BCE + ROC-AUC
@@ -155,14 +158,42 @@ def config_from_args(args) -> TrainConfig:
 
 
 def cmd_train(args):
-    from acmgnn_tpu.train.trainer import run_experiment
+    import contextlib
+
     from acmgnn_tpu.utils.logging import ExperimentLogger
+    from acmgnn_tpu.utils.profiling import profile_trace
 
     cfg = config_from_args(args)
     logger = ExperimentLogger(
         name=f"{args.dataset}_{args.model}", log_dir=args.log_dir
     )
     logger.info("config: %s", dataclasses.asdict(cfg))
+    trace = (
+        profile_trace(args.profile_dir)
+        if args.profile_dir
+        else contextlib.nullcontext()
+    )
+    with trace:
+        out = _run_train(args, cfg, logger)
+    if args.profile_dir:
+        logger.info("profiler trace written to %s (view with XProf)",
+                    args.profile_dir)
+    if args.results_csv:
+        logger.append_csv(
+            args.results_csv,
+            {
+                "dataset": out["dataset"],
+                "model": out["model"],
+                "test_mean": round(out["test_mean"], 4),
+                "test_std": round(out["test_std"], 4),
+                "epoch_ms": round(out["epoch_ms_avg"], 2),
+                "config": json.dumps(dataclasses.asdict(cfg)),
+            },
+        )
+    print(json.dumps({k: v for k, v in out.items() if k != "per_split"}))
+
+
+def _run_train(args, cfg, logger):
     if getattr(args, "sharded", 0):
         import jax
 
@@ -191,20 +222,10 @@ def cmd_train(args):
             resume=args.resume,
         )
     else:
+        from acmgnn_tpu.train.trainer import run_experiment
+
         out = run_experiment(args.dataset, cfg, logger=logger)
-    if args.results_csv:
-        logger.append_csv(
-            args.results_csv,
-            {
-                "dataset": out["dataset"],
-                "model": out["model"],
-                "test_mean": round(out["test_mean"], 4),
-                "test_std": round(out["test_std"], 4),
-                "epoch_ms": round(out["epoch_ms_avg"], 2),
-                "config": json.dumps(dataclasses.asdict(cfg)),
-            },
-        )
-    print(json.dumps({k: v for k, v in out.items() if k != "per_split"}))
+    return out
 
 
 def cmd_sweep(args):

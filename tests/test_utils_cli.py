@@ -222,6 +222,24 @@ def test_cli_predict_roundtrip(tmp_path, capsys):
     assert summary["step"] >= 0
 
 
+def test_cli_profile_dir_writes_trace(tmp_path, capsys):
+    """train --profile_dir captures a jax.profiler trace (SURVEY §5:
+    the reference's only observability is wall-clock brackets)."""
+    from acmgnn_tpu.cli import main
+
+    prof = tmp_path / "trace"
+    main([
+        "train", "--dataset", "texas", "--model", "acmgcn",
+        "--fixed_splits", "1", "--epochs", "5", "--early_stopping", "0",
+        "--num_splits", "1", "--profile_dir", str(prof),
+        "--log_dir", str(tmp_path / "logs"),
+    ])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["epochs_total"] == 5
+    # the profiler writes <dir>/plugins/profile/<ts>/*.xplane.pb
+    assert list(prof.rglob("*.xplane.pb")), "no xplane trace written"
+
+
 def test_retry_transient():
     from acmgnn_tpu.utils.resilience import retry_transient
 
