@@ -301,6 +301,8 @@ def build_sharded_ell(
     n_cols: int | None = None,
     kc: int | None = None,
     chunk_fetches: int | None = None,
+    hub_threshold: int = 0,
+    hub_budget_bytes: int = 512 * 1024 * 1024,
 ) -> dict:
     """Per-partition bucketed-ELL planes with SHARED shapes.
 
@@ -313,6 +315,17 @@ def build_sharded_ell(
     planes.  Pad expansion is bounded by 2x within a class (power-of-two
     widths) plus the cross-partition row padding.
 
+    ``hub_threshold`` > 0 enables the dense-row hub hybrid (the
+    single-chip power-law fix, ops/ell.py EllHalf.hub_mat, measured
+    1238 -> 277 ms/epoch): each partition's rows with degree >=
+    threshold become one dense [n_hub, width] block consumed by an MXU
+    matmul instead of per-edge gather descriptors.  The hub row count is
+    padded to the max across partitions (SPMD uniformity; pad rows are
+    all-zero) and capped by ``hub_budget_bytes``.  Because the operator
+    is ROW-partitioned, each local row is the complete global row, so
+    local degree == global degree and the hub economics match
+    single-chip exactly.
+
     Input: the dict from ``build_sharded_coo`` (optionally with halo
     ``col_h`` columns — pass ``col_key="col_h"`` and the concat-space
     width as ``n_cols``).  Returns::
@@ -320,8 +333,9 @@ def build_sharded_ell(
       classes:   list of (cols, vals, kc_c) with cols/vals shaped
                  [P, nchunks_c, n_rows_c, kc_c] (scan layout, pre-chunked
                  like ops/ell.py so the device never re-lays planes)
+      hub_mat:   [P, n_hub, width] float32 dense hub rows, or None
       inv_perm:  [P, rows_per_part] int32 into the per-device concat
-                 [class_0 rows | class_1 rows | ... | one zero row]
+                 [hub rows | class_0 rows | ... | one zero row]
     """
     from acmgnn_tpu.ops.ell import resolve_chunk_fetches, resolve_kc
 
@@ -332,14 +346,12 @@ def build_sharded_ell(
     col = blocks[col_key]
     val = blocks[val_key]
     n_parts = row_l.shape[0]
+    width = n_cols if n_cols is not None else n_parts * rpp
 
     # per-partition local CSR blocks
     csrs = []
     for p in range(n_parts):
         valid = row_l[p] != rpp
-        width = n_cols
-        if width is None:
-            width = n_parts * rpp
         m = sp.csr_matrix(
             (val[p][valid], (row_l[p][valid], col[p][valid])),
             shape=(rpp, width),
@@ -347,22 +359,45 @@ def build_sharded_ell(
         m.sort_indices()
         csrs.append(m)
     degs = np.stack([np.diff(m.indptr) for m in csrs])  # [P, rpp]
-    maxdeg = int(degs.max()) if degs.size else 0
 
-    # degree class per row: width 2^c covers (2^(c-1), 2^c]
+    # dense hub block: highest-degree rows, budget-capped, padded to the
+    # cross-partition max so the shard_map program stays uniform
+    hub_mat = None
+    hub_rows_sel = [np.empty(0, np.int64) for _ in range(n_parts)]
+    n_hub = 0
+    if hub_threshold > 0 and degs.size:
+        cap = int(hub_budget_bytes // max(4 * width, 1))
+        n_hub = min(int((degs >= hub_threshold).sum(axis=1).max()), cap)
+        if n_hub > 0:
+            hub_mat = np.zeros((n_parts, n_hub, width), np.float32)
+            for p in range(n_parts):
+                hr = np.flatnonzero(degs[p] >= hub_threshold)
+                hr = hr[np.argsort(-degs[p][hr], kind="stable")][:n_hub]
+                hub_rows_sel[p] = hr
+                if hr.size:
+                    hub_mat[p, : hr.size] = csrs[p][hr].toarray()
+
+    # degree class per row: width 2^c covers (2^(c-1), 2^c]; hub rows are
+    # marked -1 (handled by the dense block, excluded from every plane)
+    cls_deg = degs.copy()
+    for p in range(n_parts):
+        cls_deg[p][hub_rows_sel[p]] = 0
+    maxdeg = int(cls_deg.max()) if cls_deg.size else 0
     ncls = int(np.ceil(np.log2(maxdeg))) + 1 if maxdeg > 1 else 1
-    cls = np.zeros_like(degs)
-    nz = degs > 0
-    cls[nz] = np.ceil(np.log2(degs[nz])).astype(degs.dtype)
+    cls = np.full_like(degs, -1)
+    nz = cls_deg > 0
+    cls[nz] = np.ceil(np.log2(cls_deg[nz])).astype(degs.dtype)
+    for p in range(n_parts):
+        cls[p][hub_rows_sel[p]] = -1
     counts = np.stack(
-        [np.bincount(cls[p][degs[p] > 0], minlength=ncls)
+        [np.bincount(cls[p][cls[p] >= 0], minlength=ncls)
          for p in range(n_parts)]
     )  # [P, ncls]
     n_rows_c = counts.max(axis=0)
 
     classes = []
     offsets = []
-    off = 0
+    off = n_hub  # hub rows lead the per-device concat
     inv_perm = np.zeros((n_parts, rpp), np.int32)
     plane_meta = []
     for c in range(ncls):
@@ -391,13 +426,16 @@ def build_sharded_ell(
         # stable order of rows within each class = row id order
         rank = np.zeros(rpp, np.int64)
         for c in range(ncls):
-            sel = (cls[p] == c) & (deg_p > 0)
+            sel = cls[p] == c
             rank[sel] = np.arange(int(sel.sum()))
-        nz_rows = np.flatnonzero(deg_p > 0)
+        cls_rows = np.flatnonzero(cls[p] >= 0)
         inv_perm[p] = zero_idx
-        inv_perm[p, nz_rows] = (
-            np.asarray(offsets, np.int64)[cls[p][nz_rows]] + rank[nz_rows]
+        inv_perm[p, cls_rows] = (
+            np.asarray(offsets, np.int64)[cls[p][cls_rows]] + rank[cls_rows]
         ).astype(np.int32)
+        # hub rows map to the leading dense-block outputs (rank order)
+        hr = hub_rows_sel[p]
+        inv_perm[p, hr] = np.arange(hr.size, dtype=np.int32)
         # pack nnz into the class planes (vectorized per partition)
         if m.nnz:
             row_of = np.repeat(np.arange(rpp), deg_p)
@@ -435,6 +473,7 @@ def build_sharded_ell(
         )
     return {
         "classes": classes,
+        "hub_mat": hub_mat,
         "inv_perm": inv_perm,
         "concat_rows": zero_idx + 1,
     }

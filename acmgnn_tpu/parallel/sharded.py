@@ -157,6 +157,8 @@ def make_sharded_operators(
     exchange: str = "allgather",
     fmt: str = "ell",
     boundaries=None,
+    spmm_dtype=None,
+    ell_hub_threshold: int | None = None,
 ):
     """Sharded counterpart of ``ops.graph.precompute_operators``.
 
@@ -167,6 +169,11 @@ def make_sharded_operators(
     all_to_all, or auto by exchanged volume.  ``fmt`` selects the local
     aggregation format: ``"ell"`` (scatter-free bucketed ELL — the
     single-chip perf format, default) or ``"coo"`` (segment-sum).
+    ``spmm_dtype`` (e.g. jnp.bfloat16) and ``ell_hub_threshold`` plumb
+    the single-chip headline perf config (bf16 gather/exchange rows +
+    dense-hub hybrid) into the ELL format — mirroring
+    ``ops.graph.precompute_operators``; ignored for ``fmt="coo"`` just
+    as the single-chip path ignores them for non-ELL formats.
     """
     from acmgnn_tpu.ops.graph import (
         Operators,
@@ -181,7 +188,14 @@ def make_sharded_operators(
     else:
         raise ValueError(f"unknown normalization: {normalization!r}")
 
-    make = make_sharded_ell_op if fmt == "ell" else make_sharded_coo_op
+    if fmt == "ell":
+        make = partial(
+            make_sharded_ell_op,
+            gather_dtype=jnp.float32 if spmm_dtype is None else spmm_dtype,
+            hub_threshold=ell_hub_threshold,
+        )
+    else:
+        make = make_sharded_coo_op
     op_low, boundaries = make(
         adj_low, mesh, pad_multiple, boundaries=boundaries, exchange=exchange
     )
@@ -232,6 +246,10 @@ class ShardedEllOp(struct.PyTreeNode):
     gather_dtype: object = struct.field(
         pytree_node=False, default=jnp.float32
     )
+    # dense hub blocks (power-law fix, partition.build_sharded_ell):
+    # [P, n_hub, width] rows consumed by one MXU matmul per device
+    hub_mat: jnp.ndarray = None
+    hub_mat_t: jnp.ndarray = None
 
     @property
     def padded_nodes(self) -> int:
@@ -245,13 +263,25 @@ def make_sharded_ell_op(
     boundaries=None,
     exchange: str = "allgather",
     gather_dtype=jnp.float32,
+    hub_threshold: int | None = None,
 ):
     """Host-side build + placement of a sharded bucketed-ELL operator.
 
     Same partition/exchange semantics as ``make_sharded_coo_op``; the
     local aggregation format is the scatter-free bucketed ELL.
+    ``hub_threshold`` resolves like the single-chip ``make_ell_op``
+    (None = env ``ACMGNN_ELL_HUB``, default 2048 = auto; <= 0 disables):
+    rows at or above it become per-partition dense MXU blocks instead of
+    gather descriptors — the power-law hub fix, now format-identical to
+    the single-chip perf config.
     """
+    import os
+
     from acmgnn_tpu.parallel.partition import build_sharded_ell
+
+    if hub_threshold is None:
+        hub_threshold = int(os.environ.get("ACMGNN_ELL_HUB", "2048"))
+    hub_threshold = max(hub_threshold, 0)
 
     n_parts = mesh.devices.size
     blocks = build_sharded_coo(
@@ -264,15 +294,18 @@ def make_sharded_ell_op(
         fwd = build_sharded_ell(
             blocks, col_key="col_h",
             n_cols=rpp + n_parts * int(halo["halo_pad"]),
+            hub_threshold=hub_threshold,
         )
         bwd = build_sharded_ell(
             blocks, col_key="col_h_t", row_key="row_l_t", val_key="val_t",
             n_cols=rpp + n_parts * int(halo["halo_pad_t"]),
+            hub_threshold=hub_threshold,
         )
     else:
-        fwd = build_sharded_ell(blocks)
+        fwd = build_sharded_ell(blocks, hub_threshold=hub_threshold)
         bwd = build_sharded_ell(
-            blocks, col_key="col_t", row_key="row_l_t", val_key="val_t"
+            blocks, col_key="col_t", row_key="row_l_t", val_key="val_t",
+            hub_threshold=hub_threshold,
         )
     shard = NamedSharding(mesh, P(GRAPH_AXIS))
     dev = lambda a: jax.device_put(jnp.asarray(a), shard)  # noqa: E731
@@ -294,14 +327,30 @@ def make_sharded_ell_op(
         halo_pad=int(halo["halo_pad"]) if halo else 0,
         halo_pad_t=int(halo["halo_pad_t"]) if halo else 0,
         gather_dtype=gather_dtype,
+        hub_mat=dev(fwd["hub_mat"]) if fwd["hub_mat"] is not None else None,
+        hub_mat_t=dev(bwd["hub_mat"]) if bwd["hub_mat"] is not None else None,
     ), blocks["boundaries"]
 
 
-def _local_ell_aggregate(cls_cols, cls_vals, cls_kc, inv_perm, x_cat):
-    """Per-device scatter-free aggregation over the class planes."""
+def _local_ell_aggregate(cls_cols, cls_vals, cls_kc, inv_perm, x_cat,
+                         hub_mat=None):
+    """Per-device scatter-free aggregation over the class planes.
+
+    ``hub_mat`` (optional [1, n_hub, width] local dense block): hub rows
+    ride one MXU matmul — they lead the concat, matching ``inv_perm``'s
+    [hub | classes | zero] layout (same scheme as ops/ell.py
+    ``_half_spmm``)."""
     from acmgnn_tpu.ops.ell import EllBucket, _bucket_spmm
 
-    parts = [
+    parts = []
+    if hub_mat is not None:
+        parts.append(
+            jnp.dot(
+                hub_mat[0].astype(x_cat.dtype), x_cat,
+                preferred_element_type=jnp.float32,
+            )
+        )
+    parts += [
         _bucket_spmm(EllBucket(cols=c[0], vals=v[0], kc=kc), x_cat)
         for c, v, kc in zip(cls_cols, cls_vals, cls_kc)
     ]
@@ -310,28 +359,28 @@ def _local_ell_aggregate(cls_cols, cls_vals, cls_kc, inv_perm, x_cat):
     return jnp.take(concat, inv_perm[0], axis=0)
 
 
-def _spmm_shardmap_ell(cls_cols, cls_vals, cls_kc, inv_perm, x, mesh,
-                       gather_dtype):
-    def body(cls_cols, cls_vals, inv_perm, x_block):
+def _spmm_shardmap_ell(cls_cols, cls_vals, cls_kc, inv_perm, hub_mat, x,
+                       mesh, gather_dtype):
+    def body(cls_cols, cls_vals, inv_perm, hub_mat, x_block):
         x_full = jax.lax.all_gather(
             x_block.astype(gather_dtype), GRAPH_AXIS, axis=0, tiled=True
         )
         return _local_ell_aggregate(
-            cls_cols, cls_vals, cls_kc, inv_perm, x_full
+            cls_cols, cls_vals, cls_kc, inv_perm, x_full, hub_mat
         )
 
     return jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(P(GRAPH_AXIS), P(GRAPH_AXIS), P(GRAPH_AXIS),
-                  P(GRAPH_AXIS, None)),
+                  P(GRAPH_AXIS), P(GRAPH_AXIS, None)),
         out_specs=P(GRAPH_AXIS, None),
-    )(cls_cols, cls_vals, inv_perm, x)
+    )(cls_cols, cls_vals, inv_perm, hub_mat, x)
 
 
-def _spmm_shardmap_ell_halo(cls_cols, cls_vals, cls_kc, inv_perm, send_idx,
-                            x, mesh, halo_pad, gather_dtype):
-    def body(cls_cols, cls_vals, inv_perm, send_idx, x_block):
+def _spmm_shardmap_ell_halo(cls_cols, cls_vals, cls_kc, inv_perm, hub_mat,
+                            send_idx, x, mesh, halo_pad, gather_dtype):
+    def body(cls_cols, cls_vals, inv_perm, hub_mat, send_idx, x_block):
         send_idx = send_idx[0]  # [P, halo_pad]
         n_parts = send_idx.shape[0]
         xs = x_block.astype(gather_dtype)
@@ -344,16 +393,16 @@ def _spmm_shardmap_ell_halo(cls_cols, cls_vals, cls_kc, inv_perm, send_idx,
             [xs, halo.reshape(n_parts * halo_pad, xs.shape[1])], axis=0
         )
         return _local_ell_aggregate(
-            cls_cols, cls_vals, cls_kc, inv_perm, x_cat
+            cls_cols, cls_vals, cls_kc, inv_perm, x_cat, hub_mat
         )
 
     return jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(P(GRAPH_AXIS), P(GRAPH_AXIS), P(GRAPH_AXIS),
-                  P(GRAPH_AXIS), P(GRAPH_AXIS, None)),
+                  P(GRAPH_AXIS), P(GRAPH_AXIS), P(GRAPH_AXIS, None)),
         out_specs=P(GRAPH_AXIS, None),
-    )(cls_cols, cls_vals, inv_perm, send_idx, x)
+    )(cls_cols, cls_vals, inv_perm, hub_mat, send_idx, x)
 
 
 def sharded_ell_spmm_transpose(op: ShardedEllOp, g: jnp.ndarray,
@@ -364,11 +413,12 @@ def sharded_ell_spmm_transpose(op: ShardedEllOp, g: jnp.ndarray,
     if op.send_idx_t is not None:
         return _spmm_shardmap_ell_halo(
             op.cls_cols_t, op.cls_vals_t, op.cls_kc_t, op.inv_perm_t,
-            op.send_idx_t, g, mesh, op.halo_pad_t, op.gather_dtype,
+            op.hub_mat_t, op.send_idx_t, g, mesh, op.halo_pad_t,
+            op.gather_dtype,
         )
     return _spmm_shardmap_ell(
-        op.cls_cols_t, op.cls_vals_t, op.cls_kc_t, op.inv_perm_t, g,
-        mesh, op.gather_dtype,
+        op.cls_cols_t, op.cls_vals_t, op.cls_kc_t, op.inv_perm_t,
+        op.hub_mat_t, g, mesh, op.gather_dtype,
     )
 
 
@@ -382,11 +432,12 @@ def sharded_ell_spmm(op: ShardedEllOp, x: jnp.ndarray,
         if op_.send_idx is not None:
             return _spmm_shardmap_ell_halo(
                 op_.cls_cols, op_.cls_vals, op_.cls_kc, op_.inv_perm,
-                op_.send_idx, x_, mesh, op_.halo_pad, op_.gather_dtype,
+                op_.hub_mat, op_.send_idx, x_, mesh, op_.halo_pad,
+                op_.gather_dtype,
             )
         return _spmm_shardmap_ell(
-            op_.cls_cols, op_.cls_vals, op_.cls_kc, op_.inv_perm, x_,
-            mesh, op_.gather_dtype,
+            op_.cls_cols, op_.cls_vals, op_.cls_kc, op_.inv_perm,
+            op_.hub_mat, x_, mesh, op_.gather_dtype,
         )
 
     def _fwd(op_, x_):

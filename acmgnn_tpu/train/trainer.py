@@ -801,7 +801,12 @@ def run_experiment_sharded(
         structure_info=cfg.structure_info,
         pad_multiple=pad_multiple,
         exchange=exchange,
+        fmt="coo" if cfg.operator_format == "coo" else "ell",
         boundaries=boundaries_hint,
+        # the single-chip headline perf config rides the sharded format
+        # too: bf16 gather/exchange rows + dense-hub hybrid
+        spmm_dtype=(jnp.bfloat16 if cfg.spmm_dtype == "bfloat16" else None),
+        ell_hub_threshold=cfg.ell_hub_threshold or None,
     )
     labels_np = np.asarray(data.labels)
     if labels_np.ndim > 1 and labels_np.shape[1] == 1:
