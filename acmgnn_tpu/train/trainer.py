@@ -307,9 +307,15 @@ def make_split_runner(model: ACMGNN, cfg: TrainConfig, tx=None, joint=None):
         return loss, (updates, logits_eval)
 
     def run_joint(variables, key, ops, x, labels, labels_onehot, masks,
-                  hparams=None):
+                  hparams=None, init_state=None, epoch_limit=None,
+                  return_state=False):
         """Joint loop: body k evaluates epoch k-1 (params after k updates)
-        and trains epoch k in one paired forward."""
+        and trains epoch k in one paired forward.
+
+        ``init_state``/``epoch_limit``/``return_state`` mirror ``run``'s
+        segmented-execution plumbing (checkpoint/resume on the sharded
+        path) — ``epoch_limit`` bounds the RAW joint counter (which runs
+        to ``epochs + 1``: the final iteration only evaluates)."""
         tx = resolve_tx(hparams)
         params0, rest0 = _split_variables(variables)
         opt_state0 = tx.init(params0)
@@ -374,27 +380,36 @@ def make_split_runner(model: ACMGNN, cfg: TrainConfig, tx=None, joint=None):
                 stop=stop,
             )
 
-        init = SplitState(
-            variables=variables,
-            opt_state=opt_state0,
-            epoch=jnp.asarray(0, jnp.int32),
-            best_val_loss=jnp.asarray(jnp.inf, jnp.float32),
-            best_val_metric=jnp.asarray(-jnp.inf, jnp.float32),
-            best_test_metric=jnp.asarray(0.0, jnp.float32),
-            last_train_loss=jnp.asarray(0.0, jnp.float32),
-            val_hist=jnp.zeros((epochs + 1,), jnp.float32),
-            stop=jnp.asarray(False),
+        if init_state is not None:
+            init = init_state
+        else:
+            init = SplitState(
+                variables=variables,
+                opt_state=opt_state0,
+                epoch=jnp.asarray(0, jnp.int32),
+                best_val_loss=jnp.asarray(jnp.inf, jnp.float32),
+                best_val_metric=jnp.asarray(-jnp.inf, jnp.float32),
+                best_test_metric=jnp.asarray(0.0, jnp.float32),
+                last_train_loss=jnp.asarray(0.0, jnp.float32),
+                val_hist=jnp.zeros((epochs + 1,), jnp.float32),
+                stop=jnp.asarray(False),
+            )
+        limit = epochs + 1 if epoch_limit is None else jnp.minimum(
+            jnp.asarray(epoch_limit, jnp.int32), epochs + 1
         )
         final = jax.lax.while_loop(
-            lambda s: (s.epoch < epochs + 1) & (~s.stop), body, init
+            lambda s: (s.epoch < limit) & (~s.stop), body, init
         )
-        return SplitResult(
+        result = SplitResult(
             test_metric=final.best_test_metric,
             val_metric=final.best_val_metric,
             val_loss=final.best_val_loss,
             train_loss=final.last_train_loss,
             epochs_run=jnp.maximum(final.epoch - 1, 0),
         )
+        if return_state:
+            return result, final
+        return result
 
     return run_joint if joint else run
 
@@ -831,17 +846,16 @@ def run_experiment_sharded(
     n_padded = int(x.shape[0])
     model = build_model(cfg, nclass, n_padded)
     checkpointing = checkpoint_dir is not None and checkpoint_every > 0
-    # segmented execution needs the sequential runner's state plumbing;
-    # the joint runner has no such plumbing (and no return_state arg)
-    joint_resolved = (
-        not checkpointing
-        and bool(cfg.joint)
-        and cfg.model_type in JOINT_CAPABLE
-    )
+    joint_resolved = bool(cfg.joint) and cfg.model_type in JOINT_CAPABLE
+    # both runners carry the segmented-execution plumbing, so joint no
+    # longer silently downgrades to the sequential loop when
+    # checkpointing (round-2 verdict weak #5)
     runner = jax.jit(
-        make_split_runner(model, cfg, joint=False if checkpointing else None),
-        static_argnames=() if joint_resolved else ("return_state",),
+        make_split_runner(model, cfg), static_argnames=("return_state",)
     )
+    # the joint loop's raw counter runs one PAST epochs (final iteration
+    # evaluates the last trained epoch)
+    epoch_budget = cfg.epochs + (1 if joint_resolved else 0)
 
     rng = np.random.default_rng(cfg.seed)
     key = jax.random.key(cfg.seed)
@@ -878,7 +892,7 @@ def run_experiment_sharded(
                 ]
             while True:
                 epoch_now = int(jax.device_get(state.epoch))
-                if bool(jax.device_get(state.stop)) or epoch_now >= cfg.epochs:
+                if bool(jax.device_get(state.stop)) or epoch_now >= epoch_budget:
                     break
                 # epoch_limit rides as a traced scalar: every segment
                 # reuses one compiled program
@@ -901,7 +915,10 @@ def run_experiment_sharded(
                 val_metric=state.best_val_metric,
                 val_loss=state.best_val_loss,
                 train_loss=state.last_train_loss,
-                epochs_run=state.epoch,
+                epochs_run=(
+                    max(int(state.epoch) - 1, 0)
+                    if joint_resolved else state.epoch
+                ),
             )
         else:
             res = jax.device_get(runner(variables, *common))
