@@ -563,6 +563,9 @@ def run_experiment_stepwise(
     stats = RunStats(cfg.num_splits)
 
     t_total = time.time()
+    steady_time = 0.0
+    steady_epochs = 0
+    first_epoch_done = False  # the first executed epoch pays the compiles
     for idx in range(cfg.num_splits):
         if splits is not None:
             tr, va, te = splits[idx]
@@ -618,11 +621,28 @@ def run_experiment_stepwise(
 
         for epoch in range(start_epoch, cfg.epochs):
             ekey = jax.random.fold_in(run_key, epoch)
-            variables, opt_state, loss = train_epoch(
-                variables, opt_state, ekey, ops, x, labels, labels_onehot,
-                masks[0],
-            )
-            ev = eval_epoch(variables, ops, x, labels, labels_onehot, masks)
+
+            def do_epoch():
+                """One train+eval epoch, fully synced — the retry scope.
+                Functional in (variables, opt_state), so a transient
+                retry re-runs it idempotently."""
+                v, o, loss_ = train_epoch(
+                    variables, opt_state, ekey, ops, x, labels,
+                    labels_onehot, masks[0],
+                )
+                ev_ = eval_epoch(v, ops, x, labels, labels_onehot, masks)
+                return v, o, float(loss_), {
+                    k: float(val) for k, val in ev_.items()
+                }
+
+            t_epoch = time.time()
+            variables, opt_state, loss, ev = retry_transient(
+                do_epoch, logger=logger
+            )()
+            if first_epoch_done:  # exclude the compile-paying first epoch
+                steady_time += time.time() - t_epoch
+                steady_epochs += 1
+            first_epoch_done = True
             stats.add_result(
                 idx,
                 (ev["train_metric"], ev["val_metric"], ev["test_metric"]),
@@ -670,6 +690,11 @@ def run_experiment_stepwise(
         "epochs_total": cfg.num_splits * cfg.epochs,
         "runtime_s": elapsed,
         "epoch_ms_avg": 1000.0 * elapsed / max(cfg.num_splits * cfg.epochs, 1),
+        # compile-free rate (first executed epoch excluded); the honest
+        # number — matches run_experiment's convention (CLAUDE.md)
+        "epoch_ms_steady": (
+            1000.0 * steady_time / steady_epochs if steady_epochs else None
+        ),
     }
     if logger is not None:
         logger.log_result(out)
@@ -880,36 +905,35 @@ def run_experiment_sharded(
             )
 
             seg_path = f"{checkpoint_dir}/split{idx}_state"
+
+            def run_segment(init_state, limit):
+                """One fused-loop segment, state fetched to host inside
+                the retry scope (async jit errors surface at device_get;
+                segments are idempotent in their carried state)."""
+                _, s = runner(
+                    variables, *common,
+                    init_state=init_state,
+                    epoch_limit=jnp.asarray(limit, jnp.int32),
+                    return_state=True,
+                )
+                return jax.device_get(s)
+
+            run_segment = retry_transient(run_segment, logger=logger)
             # epoch-0 bound = a concrete zero-work state (shape template)
-            _, state = runner(
-                variables, *common,
-                epoch_limit=jnp.asarray(0, jnp.int32), return_state=True,
-            )
+            state = run_segment(None, 0)
             if resume and Path(seg_path).exists():
-                template = {"variables": jax.device_get(state), "step": 0}
+                template = {"variables": state, "step": 0}
                 state = restore_checkpoint(seg_path, template=template)[
                     "variables"
                 ]
             while True:
-                epoch_now = int(jax.device_get(state.epoch))
-                if bool(jax.device_get(state.stop)) or epoch_now >= epoch_budget:
+                epoch_now = int(state.epoch)
+                if bool(state.stop) or epoch_now >= epoch_budget:
                     break
                 # epoch_limit rides as a traced scalar: every segment
                 # reuses one compiled program
-                _, state = runner(
-                    variables, *common,
-                    init_state=state,
-                    epoch_limit=jnp.asarray(
-                        epoch_now + checkpoint_every, jnp.int32
-                    ),
-                    return_state=True,
-                )
-                save_checkpoint(
-                    seg_path,
-                    jax.device_get(state),
-                    step=int(jax.device_get(state.epoch)),
-                )
-            state = jax.device_get(state)
+                state = run_segment(state, epoch_now + checkpoint_every)
+                save_checkpoint(seg_path, state, step=int(state.epoch))
             res = SplitResult(
                 test_metric=state.best_test_metric,
                 val_metric=state.best_val_metric,
@@ -921,7 +945,10 @@ def run_experiment_sharded(
                 ),
             )
         else:
-            res = jax.device_get(runner(variables, *common))
+            res = retry_transient(
+                lambda: jax.device_get(runner(variables, *common)),
+                logger=logger,
+            )()
         results.append(res)
         epochs_total += int(res.epochs_run)
         if logger is not None:
