@@ -121,6 +121,14 @@ def config_from_args(args) -> TrainConfig:
         selection = (
             "val_metric" if args.dataset in VAL_METRIC_DATASETS else "val_loss"
         )
+    cfg = _build_config(args, use_rocauc, selection)
+    # dataset-conditional protocol forcing (deezer-europe -> AdamW +
+    # epochs=500 + attached splits), mirroring the reference's
+    # unconditional switch (/root/reference/ACM-Pytorch/train.py:63-82)
+    return cfg.resolve_for_dataset(args.dataset)
+
+
+def _build_config(args, use_rocauc, selection) -> TrainConfig:
     return TrainConfig(
         model_type=args.model,
         hidden=args.hidden,

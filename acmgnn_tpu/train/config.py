@@ -103,6 +103,25 @@ class TrainConfig:
                 "gcn", "sgc", "snowball")
         )
 
+    def resolve_for_dataset(self, dataset_name: str) -> "TrainConfig":
+        """Dataset-conditional protocol switches the reference hard-codes.
+
+        deezer-europe is forced to AdamW + 500 epochs + dataset-attached
+        fixed splits + best-val-accuracy selection, overriding whatever
+        the flags said — exactly what the reference's train loop does
+        unconditionally (/root/reference/ACM-Pytorch/train.py:63-82:
+        ``args.epochs = 500``, ``torch.optim.AdamW``, ``split_idx_lst``
+        indexing regardless of ``--fixed_splits``)."""
+        if dataset_name == "deezer-europe":
+            return dataclasses.replace(
+                self,
+                optimizer="adamw",
+                epochs=500,
+                fixed_splits=True,
+                selection="val_metric",
+            )
+        return self
+
     def resolve_feature_normalize(self) -> bool:
         """Features are row-normalized unless acmgcnp/pp with
         structure_info (/root/reference/ACM-Pytorch/utils.py:612-617)."""

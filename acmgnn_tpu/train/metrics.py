@@ -13,7 +13,18 @@ import jax.numpy as jnp
 
 
 def masked_accuracy(logits: jnp.ndarray, labels: jnp.ndarray, mask: jnp.ndarray):
-    """Fraction of masked nodes whose argmax matches the label."""
+    """Fraction of masked nodes whose argmax matches the label.
+
+    Single-label only: a ``[N, C]`` multilabel matrix (ogbn-proteins
+    protocol) has no argmax target — comparing argmax against it would
+    silently return garbage, so it raises instead (use
+    ``metric="rocauc"``, as the reference does for every multilabel
+    dataset: /root/reference/ACM-Geometric/train.py:87-92)."""
+    if labels.ndim > 1 and labels.shape[-1] > 1:
+        raise ValueError(
+            "masked_accuracy got a [N, C] multilabel matrix; accuracy is "
+            "undefined for multilabel targets — use metric='rocauc'"
+        )
     preds = jnp.argmax(logits, axis=-1)
     correct = (preds == labels) & mask
     return jnp.sum(correct) / jnp.maximum(jnp.sum(mask), 1)

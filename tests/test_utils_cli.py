@@ -266,3 +266,33 @@ def test_retry_transient():
     with _pytest.raises(ValueError):
         fatal()
     assert calls["n"] == 1  # no retry on non-transient
+
+
+def test_deezer_protocol_auto_switch():
+    """deezer-europe is forced to AdamW + 500 epochs + attached fixed
+    splits + val-metric selection, overriding the flags — the
+    reference's unconditional switch
+    (/root/reference/ACM-Pytorch/train.py:63-82)."""
+    import argparse
+
+    from acmgnn_tpu.cli import _add_train_args, config_from_args
+    from acmgnn_tpu.train.config import TrainConfig
+
+    p = argparse.ArgumentParser()
+    _add_train_args(p)
+    # even explicit contrary flags are overridden, as in the reference
+    args = p.parse_args(
+        ["--dataset", "deezer-europe", "--model", "acmgcnp",
+         "--optimizer", "adam", "--epochs", "2000", "--fixed_splits", "0"]
+    )
+    cfg = config_from_args(args)
+    assert cfg.optimizer == "adamw"
+    assert cfg.epochs == 500
+    assert cfg.fixed_splits is True
+    assert cfg.selection == "val_metric"
+
+    # library-level rule: same function, other datasets untouched
+    base = TrainConfig(optimizer="adam", epochs=123)
+    assert base.resolve_for_dataset("texas") == base
+    dz = base.resolve_for_dataset("deezer-europe")
+    assert (dz.optimizer, dz.epochs, dz.fixed_splits) == ("adamw", 500, True)

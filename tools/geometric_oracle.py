@@ -46,16 +46,22 @@ OUT_DIR = Path(__file__).resolve().parent.parent / "experiments" / "geometric_or
 # ---------------------------------------------------------------------------
 
 
-def make_planted(n, task, seed=42, avg_deg=10, f=64, homophily=0.3):
+def make_planted(n, task, seed=42, avg_deg=10, f=64, homophily=0.3,
+                 n_labels=16):
     """Heterophilous SBM-flavored graph + class-informative binary features.
 
     ``acc``: 5 balanced classes.  ``rocauc``: binary 75/25 labels (ROC-AUC
-    only makes sense off-balance).  homophily=0.3 puts useful signal in
-    BOTH the low-pass and high-pass channels — the ACM regime.
+    only makes sense off-balance).  ``multilabel``: the ogbn-proteins
+    protocol (/root/reference/ACM-Geometric/train.py:122-131,
+    dataset.py:186-202) — a [N, n_labels] binary matrix, each column a
+    noisy indicator of a random latent-class subset, trained with BCE
+    over all columns and scored by per-column ROC-AUC.  homophily=0.3
+    puts useful signal in BOTH the low-pass and high-pass channels — the
+    ACM regime.
     """
     rng = np.random.default_rng(seed)
-    c = 5 if task == "acc" else 2
-    if task == "acc":
+    c = 5 if task in ("acc", "multilabel") else 2
+    if task in ("acc", "multilabel"):
         labels = rng.integers(0, c, size=n)
     else:
         labels = (rng.random(n) < 0.25).astype(np.int64)
@@ -89,11 +95,21 @@ def make_planted(n, task, seed=42, avg_deg=10, f=64, homophily=0.3):
     # saturates AUC ~1.0 and validates nothing.
     block = f // c
     p = np.full((n, f), 0.05)
-    elevation = 0.35 if task == "acc" else 0.09
+    elevation = 0.09 if task == "rocauc" else 0.35
     for k in range(c):
         rows = labels == k
         p[np.ix_(rows, np.arange(k * block, (k + 1) * block))] = elevation
     features = (rng.random((n, f)) < p).astype(np.float32)
+
+    if task == "multilabel":
+        # each label column indicates membership in a random ~2-class
+        # subset of the latent classes, flipped with 15% noise — AUC per
+        # column is learnable but not saturated
+        col_sets = rng.random((n_labels, c)) < 0.4
+        col_sets[~col_sets.any(axis=1), 0] = True  # no empty subsets
+        ml = col_sets[:, labels].T.astype(np.int64)  # [n, n_labels]
+        flip = rng.random((n, n_labels)) < 0.15
+        labels = np.where(flip, 1 - ml, ml)
 
     # 50/25/25 random splits (LINKX protocol,
     # /root/reference/ACM-Geometric/data_utils.py:14-32)
@@ -185,8 +201,9 @@ def run_reference(adj, features, labels, splits, args):
     torch.set_num_threads(8)
 
     n, d = features.shape
-    c = int(labels.max()) + 1
-    rocauc = args.task == "rocauc"
+    multilabel = labels.ndim > 1
+    c = labels.shape[1] if multilabel else int(labels.max()) + 1
+    rocauc = args.task in ("rocauc", "multilabel")
 
     # feature row-normalize (train.py:69-73; acmgcnp w/o structure_info)
     feats = row_normalize(sp.csr_matrix(features)).toarray().astype(np.float32)
@@ -208,6 +225,19 @@ def run_reference(adj, features, labels, splits, args):
     np.random.seed(args.seed)
 
     def eval_metric(out, idx):
+        if multilabel:
+            # reference eval_rocauc multilabel branch
+            # (/root/reference/ACM-Geometric/data_utils.py:128-151):
+            # per-column AUC on raw logits, averaged over columns where
+            # both classes appear
+            y = labels[idx]
+            scores = out[idx].numpy()
+            aucs = [
+                roc_auc_score(y[:, i], scores[:, i])
+                for i in range(y.shape[1])
+                if 0 < y[:, i].sum() < y.shape[0]
+            ]
+            return float(np.mean(aucs))
         if rocauc:
             prob = F.softmax(out[idx], dim=-1)[:, 1].numpy()
             return roc_auc_score(labels[idx], prob)
@@ -232,7 +262,13 @@ def run_reference(adj, features, labels, splits, args):
             model.train()
             opt.zero_grad()
             out = model(x, adj_low, adj_high, None)
-            if rocauc:
+            if multilabel:
+                # BCE over the full [N, C] label matrix
+                # (/root/reference/ACM-Geometric/train.py:122-131)
+                loss = torch.nn.BCEWithLogitsLoss()(
+                    out[tr], label_t[tr].float()
+                )
+            elif rocauc:
                 true = F.one_hot(label_t, c).float()
                 loss = torch.nn.BCEWithLogitsLoss()(out[tr], true[tr])
             else:
@@ -272,8 +308,12 @@ def run_reference(adj, features, labels, splits, args):
 def run_ours(adj, features, labels, splits, args):
     from acmgnn_tpu.ops.graph import GraphData
     from acmgnn_tpu.train.config import TrainConfig
-    from acmgnn_tpu.train.trainer import run_experiment_stepwise
+    from acmgnn_tpu.train.trainer import (
+        run_experiment,
+        run_experiment_stepwise,
+    )
 
+    rocauc = args.task in ("rocauc", "multilabel")
     data = GraphData(
         name=f"planted-{args.task}",
         adj=adj,
@@ -292,15 +332,18 @@ def run_ours(adj, features, labels, splits, args):
         early_stopping=0,
         optimizer="adam",
         selection="val_metric",
-        metric="rocauc" if args.task == "rocauc" else "acc",
-        loss="bce" if args.task == "rocauc" else "nll",
+        metric="rocauc" if rocauc else "acc",
+        loss="bce" if rocauc else "nll",
         num_splits=args.num_splits,
         fixed_splits=True,  # use the attached planted splits
         seed=args.seed,
     )
-    out = run_experiment_stepwise(data, cfg, display_step=25)
+    if args.runner == "fused":
+        out = run_experiment(data, cfg)
+    else:
+        out = run_experiment_stepwise(data, cfg, display_step=25)
     return {
-        "side": "ours",
+        "side": f"ours-{args.runner}",
         "test_mean": float(out["test_mean"]),
         "test_std": float(out["test_std"]),
     }
@@ -308,8 +351,12 @@ def run_ours(adj, features, labels, splits, args):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--task", choices=["acc", "rocauc"], required=True)
+    p.add_argument(
+        "--task", choices=["acc", "rocauc", "multilabel"], required=True
+    )
     p.add_argument("--side", choices=["ref", "ours", "both"], default="both")
+    p.add_argument("--runner", choices=["stepwise", "fused"],
+                   default="stepwise")
     p.add_argument("--method", default="acmgcnp")
     p.add_argument("--variant", type=int, default=0)
     p.add_argument("--n", type=int, default=100_000)
@@ -323,9 +370,13 @@ def main():
     args = p.parse_args()
 
     adj, features, labels, splits = load_or_make(args.n, args.task, args.seed)
+    c_desc = (
+        f"{labels.shape[1]} label columns" if labels.ndim > 1
+        else f"c={int(labels.max()) + 1}"
+    )
     print(
         f"planted {args.task}: n={adj.shape[0]} nnz={adj.nnz} "
-        f"f={features.shape[1]} c={int(labels.max()) + 1}",
+        f"f={features.shape[1]} {c_desc}",
         flush=True,
     )
 
