@@ -53,3 +53,48 @@ def host_local_rows(boundaries, rows_per_part, mesh):
             r1 = int(boundaries[i + 1])
             out.append((i, r0, r1, i * rows_per_part))
     return out
+
+
+def shard_node_array_per_host(
+    loader, boundaries, rows_per_part, mesh, dtype, trailing_shape=(),
+):
+    """Row-sharded padded global array, materializing ONLY the rows this
+    process's addressable devices own.
+
+    The multi-host counterpart of ``sharded.shard_node_array``: instead
+    of building the full [N, ...] array on every host and letting
+    ``device_put`` slice it, ``loader(r0, r1)`` is called once per
+    ADDRESSABLE partition with that partition's logical row range (the
+    ``host_local_rows`` ranges) and may read just that slab from disk /
+    mmap — the per-host loading wiki-scale graphs need (a 2M x 600 f32
+    feature matrix is ~4.6 GB per full copy).  Built on
+    ``jax.make_array_from_callback``, which only invokes the callback
+    for shards local to this process.
+
+    Equality with the full-load path is tested
+    (tests/test_sharded.py::test_per_host_slab_loading_matches_full).
+    """
+    import numpy as np
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_parts = len(boundaries) - 1
+    global_shape = (n_parts * rows_per_part,) + tuple(trailing_shape)
+    spec = P(mesh.axis_names[0]) if not trailing_shape else P(
+        mesh.axis_names[0], *([None] * len(trailing_shape))
+    )
+    sharding = NamedSharding(mesh, spec)
+
+    def callback(index):
+        row_slice = index[0]
+        start = 0 if row_slice.start is None else int(row_slice.start)
+        part = start // rows_per_part
+        r0, r1 = int(boundaries[part]), int(boundaries[part + 1])
+        block = np.zeros(
+            (rows_per_part,) + tuple(trailing_shape), dtype=dtype
+        )
+        if r1 > r0:
+            block[: r1 - r0] = loader(r0, r1)
+        return block
+
+    return jax.make_array_from_callback(global_shape, sharding, callback)

@@ -841,3 +841,45 @@ def test_sharded_retries_injected_transient(mesh, monkeypatch):
     out = run_experiment_sharded("texas", cfg, mesh, pad_multiple=64)
     assert not fail["armed"]
     assert np.isclose(out["test_mean"], clean["test_mean"], atol=1e-6)
+
+
+def test_per_host_slab_loading_matches_full(small_graph, mesh):
+    """shard_node_array_per_host (real per-partition loading, VERDICT r2
+    missing #3) reproduces the full-load shard_node_array placement bit
+    for bit, and its loader is called exactly once per addressable
+    partition with that partition's host_local_rows range."""
+    from acmgnn_tpu.parallel.multihost import (
+        host_local_rows,
+        shard_node_array_per_host,
+    )
+    from acmgnn_tpu.parallel.partition import partition_rows
+
+    adj, features, labels = small_graph
+    boundaries = partition_rows(adj, 8)
+    rpp = int(np.max(np.diff(boundaries)))
+
+    calls = []
+
+    def loader(r0, r1):
+        calls.append((r0, r1))
+        return features[r0:r1]  # a real loader would read only this slab
+
+    got = shard_node_array_per_host(
+        loader, boundaries, rpp, mesh, np.float32,
+        trailing_shape=(features.shape[1],),
+    )
+    want = shard_node_array(features, boundaries, rpp, mesh)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    assert got.sharding == want.sharding
+
+    expected = sorted(
+        (r0, r1) for _, r0, r1, _ in host_local_rows(boundaries, rpp, mesh)
+    )
+    assert sorted(calls) == expected  # one slab read per local partition
+
+    # 1-D arrays (labels/masks) take the same path
+    got1 = shard_node_array_per_host(
+        lambda r0, r1: labels[r0:r1], boundaries, rpp, mesh, np.int32
+    )
+    want1 = shard_node_array(labels.astype(np.int32), boundaries, rpp, mesh)
+    np.testing.assert_array_equal(np.asarray(got1), np.asarray(want1))
