@@ -94,24 +94,37 @@ def measure_gather_floor(n, nnz, dtype="bfloat16", d=128, reps=3):
     import jax
     import jax.numpy as jnp
 
+    import jax.lax as lax
+
     rng = np.random.default_rng(123)
     x = jnp.asarray(
         rng.normal(size=(n, d)).astype(np.float32),
         dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32,
     )
-    idx = jnp.asarray(rng.integers(0, n, size=nnz, dtype=np.int32))
+    # at least n fetches so the chained feedback can re-seed the operand
+    nfetch = max(nnz, n)
+    idx = jnp.asarray(rng.integers(0, n, size=nfetch, dtype=np.int32))
+    # gathers per dispatch: amortizes the ~10 ms tunnel sync, which
+    # would otherwise halve the measured rate at small fetch counts
+    chain = 8
 
-    # scale rides as a traced operand so every rep is unique work (this
-    # backend dedups identical executions; CLAUDE.md)
-    f = jax.jit(lambda x_, s: jnp.take(x_ * s, idx, axis=0))
-    jax.device_get(f(x, jnp.float32(1.0))[0])  # compile + warm
-    # sequential sync per rep: the [nnz, d] outputs are GBs — don't hold
-    # several alive at once
+    def chained(x_, s0):
+        def body(carry, s):
+            g = jnp.take(carry * s, idx, axis=0)
+            # feed the first n gathered rows back so every step is
+            # unique, dependent work (no dedup, no overlap-collapse)
+            return g[:n], None
+
+        out, _ = lax.scan(body, x_, s0 + jnp.arange(chain, dtype=x_.dtype))
+        return out
+
+    f = jax.jit(chained)
+    jax.device_get(f(x, jnp.asarray(1.0, x.dtype))[0])  # compile + warm
     t0 = time.perf_counter()
     for i in range(reps):
-        jax.device_get(f(x, jnp.float32(2.0 + i))[0])
-    dt = (time.perf_counter() - t0) / reps
-    return nnz / dt
+        jax.device_get(f(x, jnp.asarray(2.0 + i, x.dtype))[0])
+    dt = (time.perf_counter() - t0) / (reps * chain)
+    return nfetch / dt
 
 
 def bench_epoch_twitch_scale(epochs=30, warmup=5, graph="uniform",
@@ -370,10 +383,16 @@ def bench_epoch_linkx_scale(name, epochs=30, reorder="none",
     dt = time.perf_counter() - t0
     epoch_ms = 1000.0 * dt / epochs
     # roofline self-report: hoisted 2-layer stacks traverse the adjacency
-    # 3x per joint epoch, 4x unhoisted (see bench_epoch_twitch_scale)
-    traversals = 3 if cfg.resolve_hoist() else 4
+    # 3x per joint epoch, 4x unhoisted (see bench_epoch_twitch_scale).
+    # Past the 128-column gather cliff the TRAIN branch falls back to the
+    # projected path (L1 fwd+bwd passes return; the eval branch still
+    # hoists) — penn94's F=4814 lands there.
+    traversals = 3 if (cfg.resolve_hoist() and spec["f"] <= 128) else 4
     if spec["structure_info"]:
-        traversals += 2  # the 4th channel's A_unnorm fwd+bwd passes
+        # the 4th channel: one A_unnorm fwd gather (shared across the
+        # train/eval branch pair) + its backward transpose (S is a
+        # learned parameter), per layer
+        traversals += 4
     gather_rate = measure_gather_floor(
         n, int(ops.adj_low.nnz), dtype=cfg.spmm_dtype
     )
