@@ -473,7 +473,13 @@ def bench_epoch_wiki(epochs=10):
         operator_format="ell",
         spmm_dtype=os.environ.get("ACMGNN_BENCH_DTYPE", "bfloat16"),
         joint=os.environ.get("ACMGNN_BENCH_JOINT", "1") == "1",
-        hoist_first=os.environ.get("ACMGNN_BENCH_HOIST", "1") == "1",
+        # hoist OFF here: it trades gather passes for O(N*F) memory
+        # (the precomputed A_hat X plus [N, F] high-pass temps), and at
+        # F=600 x 1.93M nodes those temps alone exceed one chip's HBM
+        # (measured: 17.25G > 15.75G, OOM at compile).  F=600 is past
+        # the 128-column gather cliff anyway, so the train branch could
+        # not hoist its gather regardless.
+        hoist_first=os.environ.get("ACMGNN_BENCH_HOIST_WIKI", "0") == "1",
     )
     data, ops, x, y, y1h, nclass = prepare_data(data, cfg)
     n = data.num_nodes
@@ -501,7 +507,7 @@ def bench_epoch_wiki(epochs=10):
         peak_gb = round(mem.get("peak_bytes_in_use", 0) / 2**30, 2)
     except Exception:
         peak_gb = None
-    traversals = 3 if cfg.resolve_hoist() else 4
+    traversals = 4  # F=600 is past the hoist cliff: L1+L2 fwd/bwd passes
     return {
         "metric": "acmgcnp_wiki_2M_scale_epoch_ms",
         "value": round(epoch_ms, 3),
