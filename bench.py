@@ -101,28 +101,36 @@ def measure_gather_floor(n, nnz, dtype="bfloat16", d=128, reps=3):
         rng.normal(size=(n, d)).astype(np.float32),
         dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32,
     )
-    # at least n fetches so the chained feedback can re-seed the operand
-    nfetch = max(nnz, n)
+    nfetch = nnz
     idx = jnp.asarray(rng.integers(0, n, size=nfetch, dtype=np.int32))
     # gathers per dispatch: amortizes the ~10 ms tunnel sync, which
-    # would otherwise halve the measured rate at small fetch counts
+    # would otherwise halve the measured rate at small fetch counts.
+    # Every step column-SUMS its full gather output (f32 accumulation,
+    # exactly the real ELL slot-sum's consumption pattern) and the sum
+    # seeds the next step's operand scale — a full data dependence that
+    # XLA cannot dead-code away (a slice-feedback variant measured 550M+
+    # rows/s because gather(idx)[:n] simplifies to gather(idx[:n])).
     chain = 8
 
     def chained(x_, s0):
-        def body(carry, s):
-            g = jnp.take(carry * s, idx, axis=0)
-            # feed the first n gathered rows back so every step is
-            # unique, dependent work (no dedup, no overlap-collapse)
-            return g[:n], None
+        def body(carry, _):
+            s = (s0 + carry[0] * jnp.asarray(1e-12, x_.dtype)).astype(
+                x_.dtype
+            )
+            g = jnp.take(x_ * s, idx, axis=0)
+            return jnp.sum(g, axis=0, dtype=jnp.float32), None
 
-        out, _ = lax.scan(body, x_, s0 + jnp.arange(chain, dtype=x_.dtype))
+        out, _ = lax.scan(
+            body, jnp.zeros((x_.shape[1],), jnp.float32), None,
+            length=chain,
+        )
         return out
 
     f = jax.jit(chained)
-    jax.device_get(f(x, jnp.asarray(1.0, x.dtype))[0])  # compile + warm
+    jax.device_get(f(x, jnp.asarray(1.0, jnp.float32)))  # compile + warm
     t0 = time.perf_counter()
     for i in range(reps):
-        jax.device_get(f(x, jnp.asarray(2.0 + i, x.dtype))[0])
+        jax.device_get(f(x, jnp.asarray(2.0 + i, jnp.float32)))
     dt = (time.perf_counter() - t0) / (reps * chain)
     return nfetch / dt
 
