@@ -74,6 +74,15 @@ def _add_train_args(p: argparse.ArgumentParser):
                    help="first-layer input-side aggregation hoist "
                         "(A(XW)=(AX)W): eval rides a precomputed A_hat X, "
                         "the train input gather needs no backward")
+    p.add_argument("--remat", type=int, default=0,
+                   help="rematerialize the train forward in the backward "
+                        "(jax.checkpoint): trades recompute for HBM at "
+                        "full-graph scale (exact same math)")
+    p.add_argument("--hoist_agg_dtype",
+                   choices=["auto", "float32", "bfloat16"], default="auto",
+                   help="storage dtype of the precomputed hoist aggregate "
+                        "(auto: bf16 only in the wide-feature bf16-gather "
+                        "regime where the f32 [N, F] aggregate is >1 GiB)")
     p.add_argument("--normalization", choices=["row", "sym"], default="row")
     p.add_argument("--stepwise", action="store_true",
                    help="per-epoch observable loop (OGB-style stats, "
@@ -160,6 +169,8 @@ def _build_config(args, use_rocauc, selection) -> TrainConfig:
         spmm_dtype=args.spmm_dtype,
         joint=bool(args.joint),
         hoist_first=bool(args.hoist_first),
+        hoist_agg_dtype=args.hoist_agg_dtype,
+        remat=bool(args.remat),
         ell_hub_threshold=args.ell_hub_threshold,
         ell_block=args.ell_block,
     )

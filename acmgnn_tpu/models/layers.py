@@ -267,7 +267,18 @@ class ACMConv(nn.Module):
         for b in range(len(branches)):
             if hoisted[b]:
                 y = pre_aggs[b]
-                aggs.extend([y @ w_low, (branches[b] - y) @ w_high])
+                if f_in > HOIST_MAX_COLS:
+                    # wide-feature regime (wiki-2M: F=600 x 1.93M nodes):
+                    # derive the high channel as x W_H - (A x) W_H so no
+                    # [N, F] difference temp is ever materialized — two
+                    # [N, d] MXU products instead (same math, float
+                    # association differs).  Also keeps a bfloat16-stored
+                    # aggregate out of the f32 subtraction.
+                    aggs.extend(
+                        [y @ w_low, branches[b] @ w_high - y @ w_high]
+                    )
+                else:
+                    aggs.extend([y @ w_low, (branches[b] - y) @ w_high])
             else:
                 aggs.extend(list(proj_aggs[b]))
 

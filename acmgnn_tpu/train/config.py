@@ -80,6 +80,19 @@ class TrainConfig:
     # train forward's input gather needs no backward transpose (inputs
     # are data).  Mathematically exact; float association differs.
     hoist_first: bool = False
+    # dtype of the precomputed ``A_hat X`` hoist aggregate.  "auto" keeps
+    # float32 except in the wide-feature + bf16-gather regime where the
+    # [N, F] float32 aggregate alone is >1 GiB (wiki-2M: 4.6 GB) — there
+    # it follows ``spmm_dtype`` down to bfloat16, halving its HBM
+    # residency.  Narrow/small graphs keep exact f32 (recorded parity
+    # numbers unchanged).
+    hoist_agg_dtype: str = "auto"     # "auto" | "float32" | "bfloat16"
+    # rematerialize the train forward during the backward pass
+    # (jax.checkpoint): activation temps are recomputed instead of held
+    # live across the backward — the standard TPU lever trading FLOPs
+    # (and gather passes) for HBM at full-graph scale (wiki-2M joint
+    # training exceeds one chip's HBM without it).  Exact same math.
+    remat: bool = False
     feature_normalize: Optional[bool] = None  # None => reference rule
 
     def resolve_layernorm(self) -> bool:
@@ -102,6 +115,30 @@ class TrainConfig:
             in ("acmgcn", "acmgcnp", "acmgcnpp", "acmsnowball",
                 "gcn", "sgc", "snowball")
         )
+
+    def resolve_hoist_agg_dtype(self, num_nodes: int, num_features: int):
+        """Storage dtype for the precomputed hoist aggregate (see the
+        ``hoist_agg_dtype`` field).  Returns a numpy-compatible dtype
+        object (jnp dtype) or None for float32/no-cast."""
+        import jax.numpy as jnp
+
+        if self.hoist_agg_dtype == "bfloat16":
+            return jnp.bfloat16
+        if self.hoist_agg_dtype == "float32":
+            return None
+        if self.hoist_agg_dtype != "auto":
+            raise ValueError(
+                f"unknown hoist_agg_dtype {self.hoist_agg_dtype!r}"
+            )
+        from acmgnn_tpu.models.layers import HOIST_MAX_COLS
+
+        if (
+            self.spmm_dtype == "bfloat16"
+            and num_features > HOIST_MAX_COLS
+            and 4 * num_nodes * num_features > 2**30
+        ):
+            return jnp.bfloat16
+        return None
 
     def resolve_for_dataset(self, dataset_name: str) -> "TrainConfig":
         """Dataset-conditional protocol switches the reference hard-codes.

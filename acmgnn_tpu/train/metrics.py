@@ -73,22 +73,44 @@ def _auc_from_sorted(order, group_id, y, mask, dtype):
     class is absent.  Unmasked rows may share tie groups with masked
     ones; they carry zero rank weight and are excluded from the group
     min/max, so the masked average-rank is unaffected.
+
+    Tie groups are CONTIGUOUS runs of the sorted order, so the per-group
+    min/max masked rank are boundary lookups, not segment reductions:
+    min = (masked count before the group's first row) + 1, max = masked
+    count through the group's last row.  This keeps the whole metric on
+    cumulative scans + gathers — the earlier segment_min/max formulation
+    lowered to TPU scatters, which serialize (PERF.md) and dominated the
+    genius-scale eval.
     """
     n = order.shape[0]
-    m_sorted = mask[order].astype(dtype)
-    y_sorted = jnp.where(mask[order], y[order], -1)  # -1 = ignore
+    m_bool = mask[order]
+    y_sorted = jnp.where(m_bool, y[order], -1)  # -1 = ignore
 
-    # rank among masked elements (1-based, ascending)
-    ranks = jnp.cumsum(m_sorted)
-    masked_rank_lo = jnp.where(m_sorted > 0, ranks, jnp.inf)
-    masked_rank_hi = jnp.where(m_sorted > 0, ranks, -jnp.inf)
-    group_min = jax.ops.segment_min(masked_rank_lo, group_id, num_segments=n)
-    group_max = jax.ops.segment_max(masked_rank_hi, group_id, num_segments=n)
-    avg_rank = (group_min[group_id] + group_max[group_id]) / 2.0
+    # rank among masked elements (1-based, ascending); int32 keeps the
+    # prefix counts exact beyond f32's 2^24 integer range
+    m_i32 = m_bool.astype(jnp.int32)
+    ranks = jnp.cumsum(m_i32)           # masked count through row i
+    ranks_before = ranks - m_i32        # masked count before row i
+    idx = jnp.arange(n, dtype=jnp.int32)
+    new_group = jnp.concatenate(
+        [jnp.ones((1,), bool), group_id[1:] != group_id[:-1]]
+    )
+    end_flag = jnp.concatenate([new_group[1:], jnp.ones((1,), bool)])
+    # position of each row's group start (propagate forward) / end
+    # (propagate backward) — log-depth scans
+    start_pos = jax.lax.cummax(jnp.where(new_group, idx, 0))
+    end_pos = jnp.flip(
+        jax.lax.cummin(jnp.flip(jnp.where(end_flag, idx, n - 1)))
+    )
+    avg_rank = (
+        ranks_before[start_pos].astype(dtype)
+        + 1.0
+        + ranks[end_pos].astype(dtype)
+    ) / 2.0
 
     pos = (y_sorted == 1).astype(dtype)
     n_pos = jnp.sum(pos)
-    n_neg = jnp.sum(m_sorted) - n_pos
+    n_neg = ranks[-1].astype(dtype) - n_pos
     rank_sum = jnp.sum(jnp.where(pos > 0, avg_rank, 0.0))
     auc = (rank_sum - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
     return jnp.where((n_pos > 0) & (n_neg > 0), auc, jnp.nan)

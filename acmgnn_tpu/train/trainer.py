@@ -156,17 +156,36 @@ def make_split_runner(model: ACMGNN, cfg: TrainConfig, tx=None, joint=None):
     if joint is None:
         joint = bool(cfg.joint) and cfg.model_type in JOINT_CAPABLE
 
-    def train_loss_fn(params, rest, rng, ops, x, labels, labels_onehot, train_mask):
-        variables = {"params": params, **rest}
-        out = model.apply(
-            variables,
+    def _fwd_train(params, rest, rng, ops, x):
+        return model.apply(
+            {"params": params, **rest},
             x,
             ops,
             training=True,
             rngs={"dropout": rng},
             mutable=list(rest.keys()),
         )
-        logits, updates = out
+
+    def _fwd_joint(params, rest, rng, ops, x):
+        return model.apply(
+            {"params": params, **rest},
+            x,
+            ops,
+            training=True,
+            paired_eval=True,
+            rngs={"dropout": rng},
+            mutable=list(rest.keys()),
+        )
+
+    if cfg.remat:
+        # cfg.remat: recompute the forward during the backward instead of
+        # holding its activation temps live (HBM-pressure relief at
+        # full-graph scale; exact same math, more gather/GEMM work)
+        _fwd_train = jax.checkpoint(_fwd_train)
+        _fwd_joint = jax.checkpoint(_fwd_joint)
+
+    def train_loss_fn(params, rest, rng, ops, x, labels, labels_onehot, train_mask):
+        logits, updates = _fwd_train(params, rest, rng, ops, x)
         if use_bce:
             loss = masked_bce_with_logits(logits, labels_onehot, train_mask)
         else:
@@ -287,17 +306,9 @@ def make_split_runner(model: ACMGNN, cfg: TrainConfig, tx=None, joint=None):
 
     def joint_loss_fn(params, rest, rng, ops, x, labels, labels_onehot,
                       train_mask):
-        variables = {"params": params, **rest}
-        out = model.apply(
-            variables,
-            x,
-            ops,
-            training=True,
-            paired_eval=True,
-            rngs={"dropout": rng},
-            mutable=list(rest.keys()),
+        (logits_train, logits_eval), updates = _fwd_joint(
+            params, rest, rng, ops, x
         )
-        (logits_train, logits_eval), updates = out
         if use_bce:
             loss = masked_bce_with_logits(logits_train, labels_onehot,
                                           train_mask)
@@ -476,16 +487,21 @@ def make_epoch_fns(model: ACMGNN, cfg: TrainConfig, tx=None):
         params = variables["params"]
         rest = {k: v for k, v in variables.items() if k != "params"}
 
-        def loss_fn(p):
-            out = model.apply(
-                {"params": p, **rest},
-                x,
-                ops,
+        def fwd(p, rest_, key_, ops_, x_):
+            return model.apply(
+                {"params": p, **rest_},
+                x_,
+                ops_,
                 training=True,
-                rngs={"dropout": key},
-                mutable=list(rest.keys()),
+                rngs={"dropout": key_},
+                mutable=list(rest_.keys()),
             )
-            logits, updates = out
+
+        if cfg.remat:
+            fwd = jax.checkpoint(fwd)
+
+        def loss_fn(p):
+            logits, updates = fwd(p, rest, key, ops, x)
             if use_bce:
                 loss = masked_bce_with_logits(logits, labels_onehot, train_mask)
             else:
@@ -754,10 +770,17 @@ def prepare_data(dataset: GraphData | str, cfg: TrainConfig):
     x = jnp.asarray(features)
     if cfg.resolve_hoist():
         # precompute A_hat @ X once for the first-layer hoist (the eval
-        # forward's layer-1 aggregate; exact for train when dropout == 0)
+        # forward's layer-1 aggregate; exact for train when dropout == 0).
+        # In the wide-feature + bf16 regime the aggregate is stored in
+        # bfloat16 (cfg.resolve_hoist_agg_dtype): at wiki-2M scale the
+        # f32 [N, F] aggregate alone is 4.6 GB of HBM.
         from acmgnn_tpu.ops.spmm import spmm
 
-        ops = ops.replace(x_agg=jax.jit(spmm)(ops.adj_low, x))
+        agg = jax.jit(spmm)(ops.adj_low, x)
+        agg_dtype = cfg.resolve_hoist_agg_dtype(*x.shape)
+        if agg_dtype is not None:
+            agg = agg.astype(agg_dtype)
+        ops = ops.replace(x_agg=agg)
     return data, ops, x, jnp.asarray(labels), jnp.asarray(
         labels_onehot
     ), nclass
@@ -863,10 +886,15 @@ def run_experiment_sharded(
     labels_onehot = shard_node_array(onehot_np, boundaries, rpp, mesh)
     if cfg.resolve_hoist():
         # first-layer hoist aggregate, computed with the sharded operator
-        # itself so the result lands row-sharded like x
+        # itself so the result lands row-sharded like x; wide-feature
+        # bf16 storage mirrors the single-chip rule
         from acmgnn_tpu.ops.spmm import spmm as _spmm
 
-        ops = ops.replace(x_agg=jax.jit(_spmm)(ops.adj_low, x))
+        agg = jax.jit(_spmm)(ops.adj_low, x)
+        agg_dtype = cfg.resolve_hoist_agg_dtype(*x.shape)
+        if agg_dtype is not None:
+            agg = agg.astype(agg_dtype)
+        ops = ops.replace(x_agg=agg)
 
     n_padded = int(x.shape[0])
     model = build_model(cfg, nclass, n_padded)

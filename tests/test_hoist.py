@@ -198,6 +198,78 @@ def test_hoist_baseline_models_match(small_graph, model_type):
         )
 
 
+def test_hoist_wide_features_eval_branch(small_graph):
+    """F > HOIST_MAX_COLS: the EVAL branch still hoists via the
+    precomputed aggregate, now deriving the high channel as
+    ``x W_H - (A x) W_H`` (no [N, F] temp — the wiki-2M memory fix).
+    Both the plain eval forward and the paired eval branch must match the
+    projected path."""
+    adj, features, _ = small_graph
+    rng = np.random.default_rng(0)
+    wide = rng.normal(size=(adj.shape[0], 200)).astype(np.float32)
+    ops = precompute_operators(adj, fmt="ell")
+    x = jnp.asarray(wide)
+    agg = spmm(ops.adj_low, x)
+
+    def build(hoist, x_agg=None):
+        o = ops.replace(x_agg=x_agg) if x_agg is not None else ops
+        m = ACMGNN(nhid=8, nclass=4, dropout=0.4, hoist_first=hoist)
+        return m, o
+
+    base, o0 = build(False)
+    params = base.init(jax.random.key(0), x, o0)
+    y0 = base.apply(params, x, o0)
+    hoisted, o1 = build(True, agg)
+    y1 = hoisted.apply(params, x, o1)
+    np.testing.assert_allclose(
+        np.asarray(y0), np.asarray(y1), rtol=2e-5, atol=2e-5
+    )
+
+    # paired forward: train branch projected (dropout + wide F), eval
+    # branch hoisted through the GEMM-difference form
+    kw = dict(
+        training=True, paired_eval=True, rngs={"dropout": jax.random.key(3)}
+    )
+    t0, e0 = base.apply(params, x, o0, **kw)
+    t1, e1 = hoisted.apply(params, x, o1, **kw)
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+    np.testing.assert_allclose(
+        np.asarray(e0), np.asarray(e1), rtol=2e-5, atol=2e-5
+    )
+
+    # bfloat16-stored aggregate (the wiki-2M HBM fix): same math at
+    # bf16 rounding of the aggregate only
+    hoisted_bf, o2 = build(True, agg.astype(jnp.bfloat16))
+    y2 = hoisted_bf.apply(params, x, o2)
+    assert y2.dtype == jnp.float32
+    np.testing.assert_allclose(
+        np.asarray(y0), np.asarray(y2), rtol=0.1, atol=0.05
+    )
+
+
+def test_hoist_agg_dtype_resolution():
+    """'auto' casts only in the wide-F + bf16-gather + >1GiB regime."""
+    import jax.numpy as jnp
+
+    cfg = TrainConfig(hoist_first=True, spmm_dtype="bfloat16")
+    # wiki regime: 1.93M x 600 f32 = 4.6 GB -> bf16
+    assert cfg.resolve_hoist_agg_dtype(1_925_342, 600) == jnp.bfloat16
+    # penn94 regime: 41.6k x 4814 f32 = 0.8 GB -> stays f32
+    assert cfg.resolve_hoist_agg_dtype(41_554, 4814) is None
+    # narrow features never cast (hoisted gathers are exact f32)
+    assert cfg.resolve_hoist_agg_dtype(10_000_000, 64) is None
+    # f32 gathers -> f32 aggregate regardless of size
+    f32cfg = TrainConfig(hoist_first=True, spmm_dtype="float32")
+    assert f32cfg.resolve_hoist_agg_dtype(1_925_342, 600) is None
+    # explicit overrides win
+    assert TrainConfig(hoist_agg_dtype="bfloat16").resolve_hoist_agg_dtype(
+        10, 10
+    ) == jnp.bfloat16
+    assert TrainConfig(
+        hoist_agg_dtype="float32", spmm_dtype="bfloat16"
+    ).resolve_hoist_agg_dtype(1_925_342, 600) is None
+
+
 def test_resolve_hoist_gating():
     """Hoist only fires for variant-0 propagating ACM first layers."""
     assert TrainConfig(hoist_first=True).resolve_hoist()

@@ -276,6 +276,51 @@ def test_joint_runner_matches_sequential():
     assert abs(int(r1.epochs_run) - int(r2.epochs_run)) <= 1
 
 
+@pytest.mark.parametrize("joint", (False, True))
+def test_remat_matches_plain(joint):
+    """cfg.remat (jax.checkpoint on the train forward) is pure
+    recompute — results must match the non-remat runner exactly."""
+    from acmgnn_tpu.train.trainer import (
+        build_model,
+        make_split_runner,
+        prepare_data,
+        resolve_split,
+    )
+
+    common = dict(
+        model_type="acmgcn",
+        hidden=16,
+        epochs=60,
+        early_stopping=0,
+        num_splits=1,
+        fixed_splits=True,
+        dropout=0.4,
+        operator_format="ell",
+        joint=joint,
+    )
+    cfg0 = TrainConfig(**common)
+    cfg1 = TrainConfig(remat=True, **common)
+    data, ops, x, y, y1h, nclass = prepare_data("texas", cfg0)
+    model = build_model(cfg0, nclass, data.num_nodes)
+    rng = np.random.default_rng(0)
+    masks = tuple(
+        jnp.asarray(m)
+        for m in resolve_split(data, cfg0, 0, rng, np.asarray(y), nclass)
+    )
+    key = jax.random.key(3)
+    init_key, run_key = jax.random.split(key)
+    variables = model.init(init_key, x, ops)
+    plain = jax.jit(make_split_runner(model, cfg0))
+    remat = jax.jit(make_split_runner(model, cfg1))
+    r0 = jax.device_get(plain(variables, run_key, ops, x, y, y1h, masks))
+    r1 = jax.device_get(remat(variables, run_key, ops, x, y, y1h, masks))
+    assert float(r0.test_metric) == pytest.approx(
+        float(r1.test_metric), abs=1e-5
+    )
+    assert float(r0.val_loss) == pytest.approx(float(r1.val_loss), abs=1e-4)
+    assert int(r0.epochs_run) == int(r1.epochs_run)
+
+
 def test_e2e_early_stop_window_longer_than_run():
     """epochs <= early_stopping window: the stop rule can never fire, and
     the window slice must not crash at trace time (regression)."""
