@@ -74,6 +74,11 @@ def _add_train_args(p: argparse.ArgumentParser):
                    help="first-layer input-side aggregation hoist "
                         "(A(XW)=(AX)W): eval rides a precomputed A_hat X, "
                         "the train input gather needs no backward")
+    p.add_argument("--feature_dtype", choices=["float32", "bfloat16"],
+                   default="float32",
+                   help="on-device feature-matrix storage (bfloat16 "
+                        "halves the largest argument at wiki-2M scale; "
+                        "weights/accumulations stay f32)")
     p.add_argument("--remat", type=int, default=0,
                    help="rematerialize the train forward in the backward "
                         "(jax.checkpoint): trades recompute for HBM at "
@@ -171,6 +176,7 @@ def _build_config(args, use_rocauc, selection) -> TrainConfig:
         hoist_first=bool(args.hoist_first),
         hoist_agg_dtype=args.hoist_agg_dtype,
         remat=bool(args.remat),
+        feature_dtype=args.feature_dtype,
         ell_hub_threshold=args.ell_hub_threshold,
         ell_block=args.ell_block,
     )

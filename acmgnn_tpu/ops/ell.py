@@ -34,10 +34,13 @@ from flax import struct
 class EllBucket(struct.PyTreeNode):
     """One degree bucket: rows with similar degree, ELL-packed.
 
-    Stored pre-chunked in the scan layout ``[nchunks, n_rows, kc]``
+    Stored pre-chunked in the scan layout ``[nchunks, kc, n_rows]``
     (``nchunks * kc = K``) so the device never re-lays the 4-byte index
     and value planes per SpMM call; ``nchunks == 1`` buckets skip the
-    scan entirely.
+    scan entirely.  ``n_rows`` sits MINOR deliberately: TPU tiling pads
+    the minor dim to 128, so a ``[..., rows, kc]`` layout with kc=8
+    inflated every plane 16x in HBM (measured at wiki-2M scale: 312 MB
+    resident for a 19.5 MB index plane) — rows-minor pads ~nothing.
 
     ``block > 1`` selects the block-column layout: each slot addresses a
     BLOCK of ``block`` adjacent columns (one gather descriptor fetches
@@ -50,8 +53,8 @@ class EllBucket(struct.PyTreeNode):
     fetches.
     """
 
-    cols: jnp.ndarray   # [nchunks, n_rows, kc] int32, padded with 0
-    vals: jnp.ndarray   # [nchunks, n_rows, kc(, block)] float32, 0-padded
+    cols: jnp.ndarray   # [nchunks, kc, n_rows] int32, padded with 0
+    vals: jnp.ndarray   # [nchunks, kc, n_rows(, block)] gather-dtype, 0-padded
     # static slot-chunk size for the scan
     kc: int = struct.field(pytree_node=False)
     # static column-block size (1 = plain ELL)
@@ -153,6 +156,8 @@ def _build_half(
     hub_budget_bytes: int = 512 * 1024 * 1024,
     chunk_fetches: int = 262144,
     block: int = 1,
+    hub_dtype=jnp.float32,
+    plane_dtype=jnp.float32,
 ) -> EllHalf:
     n = csr.shape[0]
     deg = np.diff(csr.indptr)
@@ -193,9 +198,13 @@ def _build_half(
         n_hub = min(n_hub, int(hub_budget_bytes // max(4 * n, 1)), nz_rows)
         if n_hub > 0:
             hub_rows = order[:n_hub]
+            # stored in the gather dtype: the rest of the operator's
+            # values ride bf16 under spmm_dtype=bfloat16, and an f32
+            # block would be .astype()-converted into a fresh [n_hub, N]
+            # temp on EVERY call (235 MB per use at wiki-2M scale)
             hub_mat = jnp.asarray(
                 csr[hub_rows].toarray().astype(np.float32)
-            )
+            ).astype(hub_dtype)
 
     # Bucket boundaries: a bucket spans rows whose degree stays above
     # ``bucket_ratio * k_max``, bounding pad expansion to ~1/ratio AND
@@ -261,18 +270,22 @@ def _build_half(
             if total:
                 cols[row_pos, within] = csr.indices[src]
                 vals[row_pos, within] = csr.data[src]
-        # pre-chunk into the scan layout once at build time (the device
-        # used to re-transpose these planes on every SpMM call)
+        # pre-chunk into the rows-minor scan layout once at build time
+        # (the device used to re-transpose these planes on every SpMM
+        # call, and the old rows-major layout padded kc to the 128-lane
+        # tile — 16x plane inflation)
         nchunks = k_pad // kc_b if k_pad > kc_b else 1
         kc_eff = k_pad // nchunks
-        cols = cols.reshape(len(rows), nchunks, kc_eff).transpose(1, 0, 2)
+        cols = cols.reshape(len(rows), nchunks, kc_eff).transpose(1, 2, 0)
         vals = vals.reshape(
             (len(rows), nchunks, kc_eff) + vals.shape[2:]
-        ).transpose((1, 0, 2) + ((3,) if block > 1 else ()))
+        ).transpose((1, 2, 0) + ((3,) if block > 1 else ()))
         buckets.append(
             EllBucket(
                 cols=jnp.asarray(np.ascontiguousarray(cols)),
-                vals=jnp.asarray(np.ascontiguousarray(vals)),
+                vals=jnp.asarray(
+                    np.ascontiguousarray(vals), dtype=plane_dtype
+                ),
                 kc=kc_eff,
                 block=block,
             )
@@ -344,7 +357,7 @@ def make_ell_op(
     build = lambda m: _build_half(  # noqa: E731
         m, kc, min_bucket_rows, bucket_ratio,
         hub_threshold=hub_threshold, chunk_fetches=chunk_fetches,
-        block=block,
+        block=block, hub_dtype=gather_dtype, plane_dtype=gather_dtype,
     )
     return EllOp(
         fwd=build(csr),
@@ -374,21 +387,24 @@ def _bucket_spmm(
     so packing keeps wide fused operands (e.g. the joint loop's 4 x 64
     bf16 channels) under the cliff.  Bit-exact: pure reinterpretation.
     """
-    nchunks, n_rows, _ = bucket.cols.shape
+    nchunks, kc_eff, n_rows = bucket.cols.shape
     d = unpack_dim if unpack_dim is not None else x.shape[1]
     cols = bucket.cols
     vals = bucket.vals
     vals = vals.astype(jnp.bfloat16 if unpack_dim is not None else x.dtype)
     blk = bucket.block
 
+    # per-chunk planes are [kc, n_rows] (rows MINOR — see EllBucket);
+    # gathers produce [kc, n_rows, d] and reduce over the leading slot
+    # axis into the f32 accumulator
     if unpack_dim is not None:
 
         def chunk_sum(c, v):
-            g = jnp.take(x, c, axis=0)  # [n_rows, kc, d//2] int32
+            g = jnp.take(x, c, axis=0)  # [kc, n_rows, d//2] int32
             g = jax.lax.bitcast_convert_type(g, jnp.bfloat16).reshape(
-                n_rows, -1, d
+                -1, n_rows, d
             )
-            return jnp.sum(g * v[..., None], axis=1, dtype=jnp.float32)
+            return jnp.sum(g * v[..., None], axis=0, dtype=jnp.float32)
     elif blk > 1:
         n_pad = -(-x.shape[0] // blk) * blk
         xb = jnp.pad(x, ((0, n_pad - x.shape[0]), (0, 0))).reshape(
@@ -396,14 +412,15 @@ def _bucket_spmm(
         )
 
         def chunk_sum(c, v):
-            g = jnp.take(xb, c, axis=0).reshape(n_rows, -1, blk, d)
-            return jnp.sum(g * v[..., None], axis=(1, 2),
+            # v: [kc, n_rows, blk]
+            g = jnp.take(xb, c, axis=0).reshape(-1, n_rows, blk, d)
+            return jnp.sum(g * v[..., None], axis=(0, 2),
                            dtype=jnp.float32)
     else:
 
         def chunk_sum(c, v):
             prod = jnp.take(x, c, axis=0) * v[..., None]
-            return jnp.sum(prod, axis=1, dtype=jnp.float32)
+            return jnp.sum(prod, axis=0, dtype=jnp.float32)
 
     if nchunks == 1:
         return chunk_sum(cols[0], vals[0])

@@ -303,6 +303,7 @@ def build_sharded_ell(
     chunk_fetches: int | None = None,
     hub_threshold: int = 0,
     hub_budget_bytes: int = 512 * 1024 * 1024,
+    plane_dtype=np.float32,
 ) -> dict:
     """Per-partition bucketed-ELL planes with SHARED shapes.
 
@@ -457,23 +458,30 @@ def build_sharded_ell(
             continue
         cols_pl, vals_pl, kc_b, nchunks, k_c = plane_meta[c]
         nr = cols_pl.shape[1]
-        # pre-chunk into the scan layout [P, nchunks, rows, kc]
+        # pre-chunk into the rows-MINOR scan layout [P, nchunks, kc, rows]
+        # (kc-minor planes pad to the 128-lane tile: 16x HBM inflation;
+        # see ops/ell.py EllBucket)
         cols_pl = cols_pl.reshape(n_parts, nr, nchunks, kc_b).transpose(
-            0, 2, 1, 3
+            0, 2, 3, 1
         )
         vals_pl = vals_pl.reshape(n_parts, nr, nchunks, kc_b).transpose(
-            0, 2, 1, 3
+            0, 2, 3, 1
         )
         classes.append(
             (
                 np.ascontiguousarray(cols_pl),
-                np.ascontiguousarray(vals_pl),
+                np.ascontiguousarray(vals_pl).astype(plane_dtype),
                 kc_b,
             )
         )
     return {
         "classes": classes,
-        "hub_mat": hub_mat,
+        # stored in the gather dtype like the class-plane values — an
+        # f32 block would be converted into a fresh [n_hub, width] temp
+        # on every SpMM call under spmm_dtype=bfloat16
+        "hub_mat": (
+            hub_mat.astype(plane_dtype) if hub_mat is not None else None
+        ),
         "inv_perm": inv_perm,
         "concat_rows": zero_idx + 1,
     }

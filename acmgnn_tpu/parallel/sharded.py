@@ -294,18 +294,20 @@ def make_sharded_ell_op(
         fwd = build_sharded_ell(
             blocks, col_key="col_h",
             n_cols=rpp + n_parts * int(halo["halo_pad"]),
-            hub_threshold=hub_threshold,
+            hub_threshold=hub_threshold, plane_dtype=gather_dtype,
         )
         bwd = build_sharded_ell(
             blocks, col_key="col_h_t", row_key="row_l_t", val_key="val_t",
             n_cols=rpp + n_parts * int(halo["halo_pad_t"]),
-            hub_threshold=hub_threshold,
+            hub_threshold=hub_threshold, plane_dtype=gather_dtype,
         )
     else:
-        fwd = build_sharded_ell(blocks, hub_threshold=hub_threshold)
+        fwd = build_sharded_ell(
+            blocks, hub_threshold=hub_threshold, plane_dtype=gather_dtype
+        )
         bwd = build_sharded_ell(
             blocks, col_key="col_t", row_key="row_l_t", val_key="val_t",
-            hub_threshold=hub_threshold,
+            hub_threshold=hub_threshold, plane_dtype=gather_dtype,
         )
     shard = NamedSharding(mesh, P(GRAPH_AXIS))
     dev = lambda a: jax.device_put(jnp.asarray(a), shard)  # noqa: E731

@@ -93,6 +93,12 @@ class TrainConfig:
     # (and gather passes) for HBM at full-graph scale (wiki-2M joint
     # training exceeds one chip's HBM without it).  Exact same math.
     remat: bool = False
+    # on-device storage dtype of the [N, F] feature matrix — the largest
+    # argument at wiki-2M scale (f32: 4.6 GB).  "bfloat16" halves it;
+    # weights, accumulations and outputs stay float32 (only the input is
+    # quantized).  Combined with remat this fits wiki-2M full-batch
+    # training on one 16 GB chip.
+    feature_dtype: str = "float32"    # "float32" | "bfloat16"
     feature_normalize: Optional[bool] = None  # None => reference rule
 
     def resolve_layernorm(self) -> bool:

@@ -767,6 +767,14 @@ def prepare_data(dataset: GraphData | str, cfg: TrainConfig):
     else:
         labels_onehot = labels.astype(np.float32)
         labels = labels.astype(np.int32)
+    if cfg.feature_dtype == "bfloat16":
+        # cast on host (ml_dtypes) so the device never holds — and the
+        # transfer never ships — the f32 copy
+        import ml_dtypes
+
+        features = np.asarray(features).astype(ml_dtypes.bfloat16)
+    elif cfg.feature_dtype != "float32":
+        raise ValueError(f"unknown feature_dtype {cfg.feature_dtype!r}")
     x = jnp.asarray(features)
     if cfg.resolve_hoist():
         # precompute A_hat @ X once for the first-layer hoist (the eval
@@ -856,6 +864,12 @@ def run_experiment_sharded(
     features = data.features
     if cfg.resolve_feature_normalize():
         features = row_normalize_features(features)
+    if cfg.feature_dtype == "bfloat16":
+        import ml_dtypes
+
+        features = np.asarray(features).astype(ml_dtypes.bfloat16)
+    elif cfg.feature_dtype != "float32":
+        raise ValueError(f"unknown feature_dtype {cfg.feature_dtype!r}")
 
     ops, boundaries, rpp = make_sharded_operators(
         data.adj,

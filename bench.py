@@ -442,8 +442,25 @@ def _wiki_scale_graph(seed=0, e=6_500_000, f=600):
 
     rng = np.random.default_rng(seed)
     n = 1_925_342
-    src, dst = _chung_lu_edges(n, e, 30_000, seed=seed)
-    adj = build_sym_adjacency(src, dst, n)
+    # adjacency construction (Chung-Lu + symmetrize) takes minutes at
+    # this scale — cache the CSR arrays across bench invocations
+    import os
+    import scipy.sparse as sp
+
+    cache = f"/tmp/acmgnn_wiki_adj_{seed}_{e}.npz"
+    if os.path.exists(cache):
+        z = np.load(cache)
+        adj = sp.csr_matrix(
+            (z["data"], z["indices"], z["indptr"]), shape=(n, n)
+        )
+    else:
+        src, dst = _chung_lu_edges(n, e, 30_000, seed=seed)
+        adj = build_sym_adjacency(src, dst, n)
+        try:
+            np.savez(cache, data=adj.data, indices=adj.indices,
+                     indptr=adj.indptr)
+        except OSError:
+            pass
     features = rng.normal(size=(n, f)).astype(np.float32)
     views = rng.lognormal(mean=4.0, sigma=2.0, size=n)
     # even_quantile_labels semantics (5 classes)
@@ -486,18 +503,18 @@ def bench_epoch_wiki(epochs=10):
         selection="val_metric",
         operator_format="ell",
         spmm_dtype=os.environ.get("ACMGNN_BENCH_DTYPE", "bfloat16"),
-        joint=os.environ.get("ACMGNN_BENCH_JOINT", "1") == "1",
-        # F=600 is past the 128-column gather cliff, so only the EVAL
-        # branch hoists (precomputed A_hat X; the train branch keeps the
-        # projected path).  The f32 form OOM'd one chip (17.25G > 15.75G:
-        # 4.6 GB f32 aggregate + [N, F] high-pass temps); the wide-F
-        # hoist now stores the aggregate in bfloat16
-        # (cfg.hoist_agg_dtype="auto") and derives the high channel as
-        # x W_H - (A x) W_H with no [N, F] temp, which fits — and narrows
-        # the joint L1 forward gather from 4-wide to 2-wide (under the
-        # descriptor-rate cliff).
-        hoist_first=os.environ.get("ACMGNN_BENCH_HOIST_WIKI", "1") == "1",
-        remat=os.environ.get("ACMGNN_BENCH_REMAT", "0") == "1",
+        # joint doubles branch-temp co-residency (measured 18.79G
+        # unhoisted / 22.74G hoisted vs the 15.75G chip) -> sequential
+        # loop at this scale; the hoist's x_agg argument (+2.15G bf16)
+        # likewise doesn't fit single-chip at F=600
+        joint=os.environ.get("ACMGNN_BENCH_JOINT", "0") == "1",
+        hoist_first=os.environ.get("ACMGNN_BENCH_HOIST_WIKI", "0") == "1",
+        # the measured single-chip memory ladder (all joint/hoist
+        # variants OOM one 15.75G chip at this scale — see PERF.md):
+        # sequential f32 18.79G > seq+remat 17.06G > seq+remat+bf16
+        # features fits.  remat + bf16 feature storage are the defaults.
+        remat=os.environ.get("ACMGNN_BENCH_REMAT", "1") == "1",
+        feature_dtype=os.environ.get("ACMGNN_BENCH_FDTYPE", "bfloat16"),
     )
     data, ops, x, y, y1h, nclass = prepare_data(data, cfg)
     n = data.num_nodes
@@ -525,10 +542,13 @@ def bench_epoch_wiki(epochs=10):
         peak_gb = round(mem.get("peak_bytes_in_use", 0) / 2**30, 2)
     except Exception:
         peak_gb = None
-    # pass count: L1 fwd (train proj; eval rides the hoist) + L1 bwd +
-    # L2 fwd + L2 bwd — same 4 passes as unhoisted (F=600 > cliff, so
-    # hoisting narrows the L1 forward instead of removing it)
-    traversals = 4
+    # pass count over the adjacency per epoch (F=600 > the hoist cliff,
+    # so the train L1 always projects): joint fuses the eval forwards
+    # into the train passes (4); sequential runs them separately (6);
+    # an eval-side hoist would remove the eval L1 pass (-1)
+    traversals = 4 if cfg.joint else 6
+    if cfg.resolve_hoist():
+        traversals -= 1
     gather_rate = measure_gather_floor(
         n, int(ops.adj_low.nnz), dtype=cfg.spmm_dtype
     )

@@ -321,6 +321,27 @@ def test_remat_matches_plain(joint):
     assert int(r0.epochs_run) == int(r1.epochs_run)
 
 
+def test_feature_dtype_bf16_close_to_f32(small_graph):
+    """feature_dtype=bfloat16 (input-matrix quantization only; weights
+    and accumulation stay f32) must track the f32 run closely."""
+    adj, features, labels = small_graph
+    from acmgnn_tpu.ops.graph import GraphData
+
+    data = GraphData(
+        name="synthetic", adj=adj, features=features, labels=labels
+    )
+    common = dict(
+        model_type="acmgcnp", hidden=8, epochs=40, early_stopping=0,
+        num_splits=2, lr=0.05, dropout=0.3, seed=1,
+        operator_format="ell", remat=True,
+    )
+    r0 = run_experiment(data, TrainConfig(**common))
+    r1 = run_experiment(
+        data, TrainConfig(feature_dtype="bfloat16", **common)
+    )
+    assert abs(r0["test_mean"] - r1["test_mean"]) < 0.08
+
+
 def test_e2e_early_stop_window_longer_than_run():
     """epochs <= early_stopping window: the stop rule can never fire, and
     the window slice must not crash at trace time (regression)."""
