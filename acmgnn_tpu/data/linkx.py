@@ -115,11 +115,52 @@ def load_genius(directed: bool = False) -> GraphData:
     return GraphData(name="genius", adj=adj, features=features, labels=labels)
 
 
+def parse_pokec_raw(profiles_path, relationships_path):
+    """Parse the raw SNAP soc-pokec dump into ``(edge_index, labels)`` —
+    the counterpart of the reference's raw-txt pokec variant
+    (/root/reference/ACM-Geometric/load_data.py:73-99): gender (profile
+    column 3; ``null`` -> -1) becomes the label, and the 1-indexed
+    relationship pairs become a directed edge list.
+
+    Vectorized instead of the reference's per-line Python loops (the
+    relationships file has ~30M rows)."""
+    labels = []
+    with open(profiles_path, encoding="utf-8", errors="replace") as f:
+        for line in f:
+            g = line.split("\t", 4)[3]
+            labels.append(int(g) if g != "null" else -1)
+    labels = np.asarray(labels, dtype=np.int32)
+    pairs = np.loadtxt(relationships_path, dtype=np.int64, ndmin=2)
+    edge_index = pairs.T - 1  # SNAP ids are 1-based
+    return edge_index, labels
+
+
 def load_pokec(directed: bool = False) -> GraphData:
-    mat = scipy.io.loadmat(find_data_file(LARGE, "pokec.mat"))
+    """pokec (1.6M nodes).  Prefers the preconverted LINKX ``pokec.mat``
+    (node features included); falls back to the raw SNAP txt dump
+    (``pokec/soc-pokec-{profiles,relationships}.txt``) via
+    ``parse_pokec_raw`` — the reference's raw parser builds no feature
+    matrix (load_data.py:73-99 returns only A + gender labels; the .mat's
+    ``node_feat`` was prepared offline by LINKX), so the fallback uses a
+    constant single feature column."""
+    try:
+        mat_path = find_data_file(LARGE, "pokec.mat")
+    except FileNotFoundError:
+        profiles = find_data_file(LARGE, "pokec", "soc-pokec-profiles.txt")
+        rels = find_data_file(
+            LARGE, "pokec", "soc-pokec-relationships.txt"
+        )
+        edge_index, labels = parse_pokec_raw(profiles, rels)
+        num_nodes = int(labels.shape[0])
+        features = np.ones((num_nodes, 1), dtype=np.float32)
+        adj = _edges_to_adj(edge_index, num_nodes, symmetrize=not directed)
+        return GraphData(
+            name="pokec", adj=adj, features=features, labels=labels
+        )
+    mat = scipy.io.loadmat(mat_path)
     edge_index = np.asarray(mat["edge_index"], dtype=np.int64)
     features = np.asarray(mat["node_feat"], dtype=np.float32)
-    num_nodes = int(mat["num_nodes"])
+    num_nodes = int(np.asarray(mat["num_nodes"]).ravel()[0])
     labels = np.asarray(mat["label"]).flatten().astype(np.int32)
     adj = _edges_to_adj(edge_index, num_nodes, symmetrize=not directed)
     return GraphData(name="pokec", adj=adj, features=features, labels=labels)
@@ -132,7 +173,7 @@ def load_snap_patents(nclass: int = 5, directed: bool = False) -> GraphData:
     mat = scipy.io.loadmat(find_data_file(LARGE, "snap_patents.mat"))
     edge_index = np.asarray(mat["edge_index"], dtype=np.int64)
     features = np.asarray(mat["node_feat"].todense(), dtype=np.float32)
-    num_nodes = int(mat["num_nodes"])
+    num_nodes = int(np.asarray(mat["num_nodes"]).ravel()[0])
     years = np.asarray(mat["years"]).flatten()
     labels = even_quantile_labels(years, nclass).astype(np.int32)
     adj = _edges_to_adj(edge_index, num_nodes, symmetrize=not directed)

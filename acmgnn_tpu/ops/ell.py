@@ -77,7 +77,7 @@ class EllHalf(struct.PyTreeNode):
     buckets: tuple      # tuple[EllBucket, ...]
     inv_perm: jnp.ndarray  # [N] int32: output row i <- concat_result[inv_perm[i]]
     num_zero_rows: int = struct.field(pytree_node=False)
-    hub_mat: jnp.ndarray | None = None   # [n_hub, N] float32 dense rows
+    hub_mat: jnp.ndarray | None = None   # [n_hub, N] gather-dtype dense rows
 
 
 class EllOp(struct.PyTreeNode):

@@ -225,8 +225,8 @@ class ShardedEllOp(struct.PyTreeNode):
     shard_map program is uniform.
     """
 
-    cls_cols: tuple        # per class: [P, nchunks, n_rows, kc] int32
-    cls_vals: tuple        # per class: [P, nchunks, n_rows, kc] float32
+    cls_cols: tuple        # per class: [P, nchunks, kc, n_rows] int32
+    cls_vals: tuple        # per class: [P, nchunks, kc, n_rows] gather-dtype
     inv_perm: jnp.ndarray  # [P, rows_per_part] into per-device concat
     cls_cols_t: tuple
     cls_vals_t: tuple

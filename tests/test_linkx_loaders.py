@@ -92,6 +92,45 @@ def test_load_snap_patents_quantile(data_root):
     assert d.num_nodes == n
 
 
+def test_load_pokec_raw_txt_fallback(data_root):
+    """Raw SNAP txt variant (/root/reference/ACM-Geometric/
+    load_data.py:73-99): used when pokec.mat is absent."""
+    profiles = [
+        # user_id, public, completion, gender, region...
+        "1\t1\t50\t1\tregion_a\tmore",
+        "2\t0\t10\tnull\tregion_b\tmore",
+        "3\t1\t90\t0\tregion_a\tmore",
+        "4\t1\t20\t1\tregion_c\tmore",
+    ]
+    rels = ["1\t2", "2\t3", "3\t1", "4\t1"]
+    d = data_root / "pokec"
+    d.mkdir()
+    (d / "soc-pokec-profiles.txt").write_text("\n".join(profiles) + "\n")
+    (d / "soc-pokec-relationships.txt").write_text("\n".join(rels) + "\n")
+
+    g = linkx.load_pokec()
+    assert g.num_nodes == 4
+    np.testing.assert_array_equal(g.labels, [1, -1, 0, 1])
+    assert abs(g.adj - g.adj.T).nnz == 0  # symmetrized by default
+    gd = linkx.load_pokec(directed=True)
+    assert gd.adj.nnz == 4
+    assert gd.adj[0, 1] == 1 and gd.adj[3, 0] == 1  # 1-based ids shifted
+
+    # the .mat takes precedence when present
+    rng = np.random.default_rng(4)
+    scipy.io.savemat(
+        data_root / "pokec.mat",
+        {
+            "edge_index": _random_edges(6, 10, rng),
+            "node_feat": rng.normal(size=(6, 3)).astype(np.float32),
+            "num_nodes": 6,
+            "label": rng.integers(0, 2, 6),
+        },
+    )
+    g2 = linkx.load_pokec()
+    assert g2.num_nodes == 6 and g2.features.shape == (6, 3)
+
+
 def test_load_yelpchi(data_root):
     rng = np.random.default_rng(3)
     n = 40
