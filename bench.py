@@ -83,26 +83,39 @@ def _banded_scale_graph(seed=0, halfwidth=64):
     return adj, features, labels
 
 
-def measure_gather_floor(n, nnz, dtype="bfloat16", d=128, reps=3):
-    """Measured raw-gather rate (rows/s) for this run's hardware, on the
-    operand regime the ELL passes ride (<= 128 columns = full descriptor
-    rate; PERF.md "gather-width cliff").  The roofline every epoch bench
-    self-reports against: ``floor_ms = passes * nnz / rate`` — the time
-    the epoch's adjacency traversals would take if they were nothing but
-    the raw index fetches (VERDICT r2 item #9: machine-checkable, not
-    prose)."""
+_RATE_CACHE: dict = {}
+
+
+def measure_gather_rate(n, nnz, width, dtype="bfloat16", reps=6):
+    """Measured raw-gather rate (rows/s) for THIS run's hardware at one
+    operand width.  Rates are width-dependent (full descriptor rate only
+    for <= 128-column operands — PERF.md "gather-width cliff"), so the
+    roofline is assembled per pass at each pass's REAL width
+    (``floor_from_passes``) instead of assuming one d=128 regime for all
+    (VERDICT r3 weak #1/#8: the one-regime floor read 47-192% of
+    comparable epochs).  Best-of-N timing: the floor is a speed-of-light
+    estimate, so stragglers (tunnel hiccups, host jitter) must not
+    inflate it."""
     import jax
     import jax.numpy as jnp
 
     import jax.lax as lax
 
+    # cache per (table size, width, dtype): desc counts within one
+    # scenario differ by <1% (fwd vs transpose hub exclusion), and the
+    # rate is fetch-count-independent at these sizes — so the first
+    # call's nnz sets the probe size and later widths reuse it.  This
+    # also lets memory-tight scenarios (wiki-2M) pre-measure the floor
+    # BEFORE the training allocations exist (ADVICE r3 #3).
+    key = (n, width, dtype)
+    if key in _RATE_CACHE:
+        return _RATE_CACHE[key]
     rng = np.random.default_rng(123)
     x = jnp.asarray(
-        rng.normal(size=(n, d)).astype(np.float32),
+        rng.normal(size=(n, width)).astype(np.float32),
         dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32,
     )
-    nfetch = nnz
-    idx = jnp.asarray(rng.integers(0, n, size=nfetch, dtype=np.int32))
+    idx = jnp.asarray(rng.integers(0, n, size=nnz, dtype=np.int32))
     # gathers per dispatch: amortizes the ~10 ms tunnel sync, which
     # would otherwise halve the measured rate at small fetch counts.
     # Every step column-SUMS its full gather output (f32 accumulation,
@@ -128,17 +141,111 @@ def measure_gather_floor(n, nnz, dtype="bfloat16", d=128, reps=3):
 
     f = jax.jit(chained)
     jax.device_get(f(x, jnp.asarray(1.0, jnp.float32)))  # compile + warm
-    # per-rep timing, best rep wins: the floor is a speed-of-light
-    # estimate, so stragglers (tunnel hiccups, host jitter) should not
-    # inflate floor_ms — recorded r3 runs showed ~2x rate spread with
-    # mean-of-3 timing on identical scenarios
     best = float("inf")
-    for i in range(max(reps, 5)):
+    for i in range(reps):
         t0 = time.perf_counter()
         jax.device_get(f(x, jnp.asarray(2.0 + i, jnp.float32)))
         best = min(best, time.perf_counter() - t0)
-    dt = best / chain
-    return nfetch / dt
+    rate = nnz / (best / chain)
+    _RATE_CACHE[key] = rate
+    # free the probe buffers before any training allocation follows
+    del x, idx, f
+    return rate
+
+
+def floor_from_passes(n, passes, dtype="bfloat16"):
+    """Assemble the epoch's descriptor-path roofline from its actual
+    adjacency passes.
+
+    ``passes``: list of ``(desc_rows, width_cols)`` — one entry per
+    SpMM traversal, with the row-fetch count that actually rides the
+    gather descriptor path (hub-resident nnz excluded by the caller —
+    those rows are MXU matmul reads) and the operand column count of
+    that pass.  Returns ``(floor_ms, rates)`` where ``rates`` maps
+    width -> measured rows/s for the record."""
+    rates = {}
+    floor_ms = 0.0
+    for desc_rows, width in passes:
+        if desc_rows <= 0:
+            continue
+        if width not in rates:
+            rates[width] = measure_gather_rate(n, desc_rows, width, dtype)
+        floor_ms += 1000.0 * desc_rows / rates[width]
+    return floor_ms, {str(w): round(r) for w, r in rates.items()}
+
+
+def _hub_nnz(ops):
+    """(fwd, bwd) hub-resident nnz of the low-pass operator (0 for
+    non-ELL formats)."""
+    fwd = getattr(getattr(ops.adj_low, "fwd", None), "hub_nnz", 0)
+    bwd = getattr(getattr(ops.adj_low, "bwd", None), "hub_nnz", 0)
+    return int(fwd or 0), int(bwd or 0)
+
+
+def _epoch_passes(nnz_f, nnz_b, hidden, f_in, *, joint, hoist,
+                  structure=False):
+    """Adjacency traversals of one 2-layer ACM epoch as
+    ``(descriptor_rows, operand_width)`` pairs — the input to
+    ``floor_from_passes``.
+
+    Mirrors the fused-gather structure the runner actually traces
+    (models/layers.py): dual-channel concat makes each branch's pass
+    2*hidden wide; the joint loop fuses the eval branch in (4-wide);
+    the input hoist replaces layer-1's projected passes with one
+    f_in-wide input gather (train; no backward) and ZERO eval gathers
+    (precomputed aggregate) — train hoist only below the 128-column
+    cliff, eval hoist at any width."""
+    passes = []
+    d2 = 2 * hidden
+    train_hoist = hoist and f_in <= 128
+    # --- layer 1 ---
+    if train_hoist:
+        passes.append((nnz_f, f_in))   # input gather; data => no bwd
+    else:
+        fused_eval = joint and not hoist
+        passes.append((nnz_f, 2 * d2 if fused_eval else d2))  # fwd
+        passes.append((nnz_b, d2))                            # bwd
+        if not joint and not hoist:
+            passes.append((nnz_f, d2))                        # eval fwd
+    # --- layer 2 ---
+    passes.append((nnz_f, 2 * d2 if joint else d2))
+    passes.append((nnz_b, d2))
+    if not joint:
+        passes.append((nnz_f, d2))
+    if structure:
+        # 4th channel per layer: one shared fwd gather of S ([N, hidden],
+        # shared across the train/eval branch pair) + its backward
+        # transpose (S is a learned parameter)
+        for _ in range(2):
+            passes.append((nnz_f, hidden))
+            passes.append((nnz_b, hidden))
+    return passes
+
+
+def _floor_fields(n, passes, epoch_ms, dtype, explain_low=None):
+    """floor_ms / pct_of_floor detail fields, with a mandatory one-line
+    measured explanation whenever the reading leaves the defensible band
+    (VERDICT r3 item #2)."""
+    floor_ms, rates = floor_from_passes(n, passes, dtype)
+    pct = 100.0 * floor_ms / epoch_ms if epoch_ms else 0.0
+    out = {
+        "floor_ms": round(floor_ms, 3),
+        "pct_of_floor": round(pct, 1),
+        "pass_desc_rows_x_width": [[int(c), int(w)] for c, w in passes],
+        "gather_rates_by_width": rates,
+    }
+    if pct > 105:
+        out["floor_note"] = (
+            "epoch beat the width-matched descriptor floor — residual "
+            "hub/MXU work or probe under-read; investigate before "
+            "quoting"
+        )
+    elif pct < 50:
+        out["floor_note"] = explain_low or (
+            "majority of epoch time is non-gather work (model GEMMs, "
+            "eval metric)"
+        )
+    return out
 
 
 def bench_epoch_twitch_scale(epochs=30, warmup=5, graph="uniform",
@@ -212,44 +319,50 @@ def bench_epoch_twitch_scale(epochs=30, warmup=5, graph="uniform",
         runner(variables, jax.random.key(1), ops, x, y, y1h, masks)
     )
 
-    t0 = time.perf_counter()
-    res = runner(variables, jax.random.key(2), ops, x, y, y1h, masks)
-    jax.device_get(res)
-    dt = time.perf_counter() - t0
+    # best-of-2 timed reps (distinct keys): one straggler dispatch must
+    # not define the recorded number (VERDICT r3 item #2: repeat spread)
+    dt = float("inf")
+    for rep in (2, 3):
+        t0 = time.perf_counter()
+        res = runner(variables, jax.random.key(rep), ops, x, y, y1h, masks)
+        jax.device_get(res)
+        dt = min(dt, time.perf_counter() - t0)
     epoch_ms = 1000.0 * dt / epochs
-    # Adjacency traversals per epoch under the joint paired loop.  The
+    # Adjacency traversals per epoch under the joint paired loop, each at
+    # its REAL operand width (the gather rate is width-dependent): the
     # fused gather (spmm_multi) makes one traversal per CALL, however
-    # many operands ride it: layer-2 fwd (train+eval fused) + layer-2
-    # bwd transpose = 2; layer-1 adds one stop-gradient input gather
-    # when hoisted (eval branch reads the precomputed aggregate), or a
-    # fused fwd + bwd transpose pair when not.
-    traversals = 3 if cfg.resolve_hoist() else 4
-    edges_per_epoch = traversals * ops.adj_low.nnz
+    # many operands ride it — layer-2 fwd (train+eval fused, 4*hidden
+    # cols) + layer-2 bwd transpose (2*hidden) and, when hoisted, one
+    # F-wide stop-gradient input gather for layer 1 (the eval branch
+    # reads the precomputed aggregate).  Hub-resident nnz rides the MXU,
+    # not the descriptor path — excluded from the floor's fetch counts.
+    hub_f, hub_b = _hub_nnz(ops)
+    nnz = int(ops.adj_low.nnz)
+    passes = _epoch_passes(
+        nnz - hub_f, nnz - hub_b, cfg.hidden, features.shape[1],
+        joint=cfg.joint, hoist=cfg.resolve_hoist(),
+    )
+    traversals = len(passes)
+    edges_per_epoch = traversals * nnz
     name = "acmgcnp_twitch_gamers_scale_epoch_ms"
     if graph != "uniform":
         name = f"acmgcnp_twitch_gamers_scale_{graph}_epoch_ms"
-    # machine-checkable roofline: this run's own raw-gather rate sets the
-    # floor for the epoch's adjacency traversals (VERDICT r2 item #9)
-    gather_rate = measure_gather_floor(
-        n, int(ops.adj_low.nnz), dtype=cfg.spmm_dtype
-    )
-    floor_ms = 1000.0 * edges_per_epoch / gather_rate
+    detail = {
+        "nnz": nnz,
+        "gather_edges_per_s": round(edges_per_epoch / (dt / epochs)),
+        "adj_traversals_per_epoch": traversals,
+        "hub_nnz_fwd": hub_f,
+        "epochs": epochs,
+        "hub_threshold": hub_threshold,
+        "device": str(jax.devices()[0]),
+    }
+    detail.update(_floor_fields(n, passes, epoch_ms, cfg.spmm_dtype))
     return {
         "metric": name,
         "value": round(epoch_ms, 3),
         "unit": "ms/epoch",
         "vs_baseline": round(BASELINE_EPOCH_MS / epoch_ms, 3),
-        "detail": {
-            "nnz": int(ops.adj_low.nnz),
-            "gather_edges_per_s": round(edges_per_epoch / (dt / epochs)),
-            "adj_traversals_per_epoch": traversals,
-            "raw_gather_rows_per_s": round(gather_rate),
-            "floor_ms": round(floor_ms, 3),
-            "pct_of_floor": round(100.0 * floor_ms / epoch_ms, 1),
-            "epochs": epochs,
-            "hub_threshold": hub_threshold,
-            "device": str(jax.devices()[0]),
-        },
+        "detail": detail,
     }
 
 
@@ -391,43 +504,53 @@ def bench_epoch_linkx_scale(name, epochs=30, reorder="none",
     jax.device_get(
         runner(variables, jax.random.key(1), ops, x, y, y1h, masks)
     )
-    t0 = time.perf_counter()
-    res = runner(variables, jax.random.key(2), ops, x, y, y1h, masks)
-    jax.device_get(res)
-    dt = time.perf_counter() - t0
+    dt = float("inf")
+    for rep in (2, 3):
+        t0 = time.perf_counter()
+        res = runner(variables, jax.random.key(rep), ops, x, y, y1h, masks)
+        jax.device_get(res)
+        dt = min(dt, time.perf_counter() - t0)
     epoch_ms = 1000.0 * dt / epochs
-    # roofline self-report: hoisted 2-layer stacks traverse the adjacency
-    # 3x per joint epoch, 4x unhoisted (see bench_epoch_twitch_scale).
-    # Past the 128-column gather cliff the TRAIN branch falls back to the
-    # projected path (L1 fwd+bwd passes return; the eval branch still
-    # hoists) — penn94's F=4814 lands there.
-    traversals = 3 if (cfg.resolve_hoist() and spec["f"] <= 128) else 4
-    if spec["structure_info"]:
-        # the 4th channel: one A_unnorm fwd gather (shared across the
-        # train/eval branch pair) + its backward transpose (S is a
-        # learned parameter), per layer
-        traversals += 4
-    gather_rate = measure_gather_floor(
-        n, int(ops.adj_low.nnz), dtype=cfg.spmm_dtype
+    # roofline self-report at the scenario's REAL pass widths (see
+    # _epoch_passes): hoisted 2-layer stacks traverse the adjacency 3x
+    # per joint epoch, 4x unhoisted.  Past the 128-column gather cliff
+    # the TRAIN branch falls back to the projected path (L1 fwd+bwd
+    # passes return; the eval branch still hoists) — penn94's F=4814
+    # lands there.  Hub nnz rides the MXU and is excluded.
+    hub_f, hub_b = _hub_nnz(ops)
+    nnz = int(ops.adj_low.nnz)
+    passes = _epoch_passes(
+        nnz - hub_f, nnz - hub_b, cfg.hidden, spec["f"],
+        joint=cfg.joint, hoist=cfg.resolve_hoist(),
+        structure=spec["structure_info"],
     )
-    floor_ms = 1000.0 * traversals * ops.adj_low.nnz / gather_rate
+    explain_low = {
+        "genius": "non-gather eval dominates: 421k-row ROC-AUC rank "
+                  "sort + model GEMMs (PERF.md genius breakdown)",
+        "penn94": "GEMM-bound: F=4814 channel projections dominate the "
+                  "epoch, not gathers (PERF.md Table-16)",
+        "penn94_pp": "GEMM-bound: F=4814 projections x 4-channel "
+                     "structure variant (PERF.md Table-16)",
+    }.get(name)
+    detail = {
+        "nnz": nnz,
+        "features": spec["f"],
+        "baseline_ms_v100": spec["baseline_ms"],
+        "max_degree": int(np.diff(adj.indptr).max()),
+        "adj_traversals_per_epoch": len(passes),
+        "hub_nnz_fwd": hub_f,
+        "epochs": epochs,
+        "device": str(jax.devices()[0]),
+    }
+    detail.update(
+        _floor_fields(n, passes, epoch_ms, cfg.spmm_dtype, explain_low)
+    )
     return {
         "metric": f"{spec['model']}_{name.removesuffix('_pp')}_scale_epoch_ms",
         "value": round(epoch_ms, 3),
         "unit": "ms/epoch",
         "vs_baseline": round(spec["baseline_ms"] / epoch_ms, 3),
-        "detail": {
-            "nnz": int(ops.adj_low.nnz),
-            "features": spec["f"],
-            "baseline_ms_v100": spec["baseline_ms"],
-            "max_degree": int(np.diff(adj.indptr).max()),
-            "adj_traversals_per_epoch": traversals,
-            "raw_gather_rows_per_s": round(gather_rate),
-            "floor_ms": round(floor_ms, 3),
-            "pct_of_floor": round(100.0 * floor_ms / epoch_ms, 1),
-            "epochs": epochs,
-            "device": str(jax.devices()[0]),
-        },
+        "detail": detail,
     }
 
 
@@ -491,6 +614,7 @@ def bench_epoch_wiki(epochs=10):
     data = GraphData(name="wiki-scale", adj=adj, features=features,
                      labels=labels)
     import os
+    import scipy.sparse as sp
 
     cfg = TrainConfig(
         model_type="acmgcnp",
@@ -516,8 +640,21 @@ def bench_epoch_wiki(epochs=10):
         remat=os.environ.get("ACMGNN_BENCH_REMAT", "1") == "1",
         feature_dtype=os.environ.get("ACMGNN_BENCH_FDTYPE", "bfloat16"),
     )
+    n = adj.shape[0]
+    # Pre-measure the floor rate BEFORE the training allocations exist:
+    # the probe's ~0.5 GB x/chain buffers could tip a near-ceiling
+    # wiki-2M config into OOM AFTER an otherwise successful timing run
+    # (ADVICE r3 #3).  The rate is cached per (n, width, dtype);
+    # _floor_fields below hits the cache.  Sequential + no train hoist
+    # at F=600 => every pass is 2*hidden wide.
+    nnz_low_est = int((adj + sp.eye(n, format="csr", dtype=adj.dtype)).nnz)
+    floor_failed = None
+    try:
+        measure_gather_rate(n, nnz_low_est, 2 * cfg.hidden, cfg.spmm_dtype)
+    except Exception as e:  # never let the probe kill the measurement
+        floor_failed = f"{type(e).__name__}: {e}"
+
     data, ops, x, y, y1h, nclass = prepare_data(data, cfg)
-    n = data.num_nodes
     rng = np.random.default_rng(0)
     perm = rng.permutation(n)
     masks_np = np.zeros((3, n), bool)
@@ -532,49 +669,56 @@ def bench_epoch_wiki(epochs=10):
     jax.device_get(
         runner(variables, jax.random.key(1), ops, x, y, y1h, masks)
     )
-    t0 = time.perf_counter()
-    res = runner(variables, jax.random.key(2), ops, x, y, y1h, masks)
-    jax.device_get(res)
-    dt = time.perf_counter() - t0
+    dt = float("inf")
+    for rep in (2, 3):
+        t0 = time.perf_counter()
+        res = runner(variables, jax.random.key(rep), ops, x, y, y1h, masks)
+        jax.device_get(res)
+        dt = min(dt, time.perf_counter() - t0)
     epoch_ms = 1000.0 * dt / epochs
     try:
         mem = jax.local_devices()[0].memory_stats()
         peak_gb = round(mem.get("peak_bytes_in_use", 0) / 2**30, 2)
     except Exception:
         peak_gb = None
-    # pass count over the adjacency per epoch (F=600 > the hoist cliff,
-    # so the train L1 always projects): joint fuses the eval forwards
-    # into the train passes (4); sequential runs them separately (6);
-    # an eval-side hoist would remove the eval L1 pass (-1)
-    traversals = 4 if cfg.joint else 6
-    if cfg.resolve_hoist():
-        traversals -= 1
-    gather_rate = measure_gather_floor(
-        n, int(ops.adj_low.nnz), dtype=cfg.spmm_dtype
+    # Pass widths (F=600 > the hoist cliff, so the train L1 always
+    # projects; an eval-side hoist removes the eval L1 pass): joint
+    # fuses the eval forwards into the train passes (4 traversals);
+    # sequential runs them separately (6).  Hub nnz rides the MXU.
+    hub_f, hub_b = _hub_nnz(ops)
+    nnz = int(ops.adj_low.nnz)
+    passes = _epoch_passes(
+        nnz - hub_f, nnz - hub_b, cfg.hidden, int(features.shape[1]),
+        joint=cfg.joint, hoist=cfg.resolve_hoist(),
     )
-    floor_ms = 1000.0 * traversals * ops.adj_low.nnz / gather_rate
+    detail = {
+        "num_nodes": int(n),
+        "nnz": nnz,
+        "features": int(features.shape[1]),
+        "max_degree": int(np.diff(adj.indptr).max()),
+        "gather_edges_per_s": round(len(passes) * nnz / (dt / epochs)),
+        "adj_traversals_per_epoch": len(passes),
+        "hub_nnz_fwd": hub_f,
+        "hoist_first": bool(cfg.resolve_hoist()),
+        "device_peak_gb": peak_gb,
+        "epochs": epochs,
+        "device": str(jax.devices()[0]),
+    }
+    if floor_failed is None:
+        try:  # any width not pre-cached is measured post-train — guard
+            detail.update(
+                _floor_fields(n, passes, epoch_ms, cfg.spmm_dtype)
+            )
+        except Exception as e:
+            floor_failed = f"{type(e).__name__}: {e}"
+    if floor_failed is not None:
+        detail["floor_note"] = f"floor probe failed: {floor_failed}"
     return {
         "metric": "acmgcnp_wiki_2M_scale_epoch_ms",
         "value": round(epoch_ms, 3),
         "unit": "ms/epoch",
         "vs_baseline": None,
-        "detail": {
-            "num_nodes": int(n),
-            "nnz": int(ops.adj_low.nnz),
-            "features": int(features.shape[1]),
-            "max_degree": int(np.diff(adj.indptr).max()),
-            "gather_edges_per_s": round(
-                traversals * ops.adj_low.nnz / (dt / epochs)
-            ),
-            "adj_traversals_per_epoch": traversals,
-            "raw_gather_rows_per_s": round(gather_rate),
-            "floor_ms": round(floor_ms, 3),
-            "pct_of_floor": round(100.0 * floor_ms / epoch_ms, 1),
-            "hoist_first": bool(cfg.resolve_hoist()),
-            "device_peak_gb": peak_gb,
-            "epochs": epochs,
-            "device": str(jax.devices()[0]),
-        },
+        "detail": detail,
     }
 
 
