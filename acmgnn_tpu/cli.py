@@ -61,6 +61,11 @@ def _add_train_args(p: argparse.ArgumentParser):
                    default="none")
     p.add_argument("--spmm_dtype", choices=["float32", "bfloat16"],
                    default="float32")
+    p.add_argument("--gemm_dtype", choices=["float32", "bfloat16"],
+                   default="float32",
+                   help="channel-projection GEMM operand dtype (bf16 = "
+                        "MXU-native operands, f32 accumulation; lever "
+                        "for wide-feature GEMM-bound graphs)")
     p.add_argument("--ell_hub_threshold", type=int, default=0,
                    help="ELL dense-row hybrid degree cutoff (0 = off)")
     p.add_argument("--ell_block", type=int, default=0,
@@ -172,6 +177,7 @@ def _build_config(args, use_rocauc, selection) -> TrainConfig:
         reorder=args.reorder,
         partition=args.partition,
         spmm_dtype=args.spmm_dtype,
+        gemm_dtype=args.gemm_dtype,
         joint=bool(args.joint),
         hoist_first=bool(args.hoist_first),
         hoist_agg_dtype=args.hoist_agg_dtype,

@@ -51,6 +51,32 @@ def _uniform(scale: float):
     return init
 
 
+def _resolve_gemm_dtype(gemm_dtype):
+    """None/'float32' => exact f32 GEMMs; 'bfloat16' => MXU-native bf16
+    operands with float32 accumulation."""
+    if gemm_dtype in (None, "float32"):
+        return None
+    if gemm_dtype == "bfloat16":
+        return jnp.bfloat16
+    raise ValueError(f"unknown gemm_dtype {gemm_dtype!r}")
+
+
+def _make_mm(gemm_dtype):
+    """Channel-projection matmul for one resolved gemm dtype.
+
+    The wide-feature regimes (Penn94: F=4814 one-hot projections) are
+    GEMM-bound, and the MXU runs bf16 at 2x the f32-emulation rate —
+    ``preferred_element_type=float32`` keeps the accumulator exact, so
+    only the operand mantissas are rounded (same class of rounding as
+    the bf16 gather rows the headline config already uses)."""
+    dt = _resolve_gemm_dtype(gemm_dtype)
+    if dt is None:
+        return lambda a, b: a @ b
+    return lambda a, b: jnp.dot(
+        a.astype(dt), b.astype(dt), preferred_element_type=jnp.float32
+    )
+
+
 # Above this input width the gather engine falls off its full descriptor
 # rate (measured cliff at 128 columns, PERF.md "gather-width cliff"), so
 # the hoisted input gather stops paying vs the projected [N, 2d] form.
@@ -80,6 +106,10 @@ class ACMConv(nn.Module):
     # data — no cotangent path), and branches fed the static feature
     # matrix consume the precomputed ``x_agg`` with ZERO gathers.
     input_hoist: bool = False
+    # Channel-projection GEMM operand dtype ("bfloat16" halves MXU time
+    # in wide-F regimes; f32 accumulation — see _make_mm).  Attention
+    # scoring and mixing stay exact f32 (tiny GEMMs, accuracy-critical).
+    gemm_dtype: Optional[str] = None
 
     def _make_lns(self, t: int):
         """LayerNorm submodules for the attention inputs (create once per
@@ -146,6 +176,7 @@ class ACMConv(nn.Module):
         f_in = x.shape[-1]
         f_out = self.out_features
         w_init = _uniform(1.0 / float(f_out) ** 0.5)
+        mm = _make_mm(self.gemm_dtype)
 
         if x_eval is not None and self.model_type not in (
             "acmgcn", "acmgcnp", "acmgcnpp", "acmsnowball"
@@ -156,7 +187,7 @@ class ACMConv(nn.Module):
 
         if self.model_type == "mlp":
             w_mlp = self.param("weight_mlp", w_init, (f_in, f_out))
-            return x @ w_mlp
+            return mm(x, w_mlp)
 
         if self.model_type in ("sgc", "gcn", "snowball"):
             w_low = self.param("weight_low", w_init, (f_in, f_out))
@@ -168,8 +199,8 @@ class ACMConv(nn.Module):
                 if y is None and f_in <= HOIST_MAX_COLS:
                     y = spmm(ops.adj_low, jax.lax.stop_gradient(x))
                 if y is not None:
-                    return y @ w_low
-            return spmm(ops.adj_low, x @ w_low)
+                    return mm(y, w_low)
+            return spmm(ops.adj_low, mm(x, w_low))
 
         if self.model_type == "acmgraphsage":
             # ACM channel mixing over SAGE-style transforms (the reference
@@ -181,7 +212,7 @@ class ACMConv(nn.Module):
                 SAGEConv(f_out, high_pass=True, name="sage_high")(x, ops)
             )
             w_mlp = self.param("weight_mlp", w_init, (f_in, f_out))
-            h_mlp = jax.nn.relu(x @ w_mlp)
+            h_mlp = jax.nn.relu(mm(x, w_mlp))
             att = self._attention([h_low, h_high, h_mlp])
             return 3.0 * (
                 att[:, 0:1] * h_low + att[:, 1:2] * h_high + att[:, 2:3] * h_mlp
@@ -197,11 +228,13 @@ class ACMConv(nn.Module):
             # high-pass stays I - A_hat (reference computes adj_high before
             # exponentiating, /root/reference/ACM-Pytorch/utils.py:626-637).
             if ops.adj_hp_base is None:
-                h_low, h_high = spmm_dual(ops.adj_low, x @ w_low, x @ w_high)
+                h_low, h_high = spmm_dual(
+                    ops.adj_low, mm(x, w_low), mm(x, w_high)
+                )
             else:
-                h_low = spmm(ops.adj_low, x @ w_low)
-                h_high = spmm_high(ops.adj_hp, x @ w_high)
-            h_mlp = x @ w_mlp
+                h_low = spmm(ops.adj_low, mm(x, w_low))
+                h_high = spmm_high(ops.adj_hp, mm(x, w_high))
+            h_mlp = mm(x, w_mlp)
             att = self._attention([h_low, h_high, h_mlp])
             return 3.0 * (
                 att[:, 0:1] * h_low + att[:, 1:2] * h_high + att[:, 2:3] * h_mlp
@@ -247,11 +280,12 @@ class ACMConv(nn.Module):
             for b in proj:
                 xb = branches[b]
                 if self.variant:  # ACMII: propagate post-activation features
-                    pre.append(
-                        (jax.nn.relu(xb @ w_low), jax.nn.relu(xb @ w_high))
-                    )
+                    pre.append((
+                        jax.nn.relu(mm(xb, w_low)),
+                        jax.nn.relu(mm(xb, w_high)),
+                    ))
                 else:
-                    pre.append((xb @ w_low, xb @ w_high))
+                    pre.append((mm(xb, w_low), mm(xb, w_high)))
             zs = [z for pair in pre for z in pair]
             flags = [False, True] * len(proj)
             # eval-branch entries carry no gradient: they feed metrics
@@ -274,11 +308,14 @@ class ACMConv(nn.Module):
                     # [N, d] MXU products instead (same math, float
                     # association differs).  Also keeps a bfloat16-stored
                     # aggregate out of the f32 subtraction.
-                    aggs.extend(
-                        [y @ w_low, branches[b] @ w_high - y @ w_high]
-                    )
+                    aggs.extend([
+                        mm(y, w_low),
+                        mm(branches[b], w_high) - mm(y, w_high),
+                    ])
                 else:
-                    aggs.extend([y @ w_low, (branches[b] - y) @ w_high])
+                    aggs.extend(
+                        [mm(y, w_low), mm(branches[b] - y, w_high)]
+                    )
             else:
                 aggs.extend(list(proj_aggs[b]))
 
@@ -305,7 +342,7 @@ class ACMConv(nn.Module):
             if not self.variant:
                 h_low = jax.nn.relu(h_low)
                 h_high = jax.nn.relu(h_high)
-            h_mlp = jax.nn.relu(xb @ w_mlp)
+            h_mlp = jax.nn.relu(mm(xb, w_mlp))
             if use_structure:
                 att = self._attention(
                     [h_low, h_high, h_mlp, h_struc], ln_mods, att_params
@@ -390,19 +427,29 @@ class MLPBlock(nn.Module):
     out_channels: int
     num_layers: int = 1
     dropout: float = 0.0
+    # see ACMConv.gemm_dtype — the acmgcnpp skip-MLP's first Linear is an
+    # F-wide projection in the same GEMM-bound regime; outputs are cast
+    # back to float32 so downstream math is unchanged in dtype
+    gemm_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, training: bool = False) -> jnp.ndarray:
+        gdt = _resolve_gemm_dtype(self.gemm_dtype)
+
         def dense(features, name):
             # torch nn.Linear default init: U(-1/sqrt(fan_in), 1/sqrt(fan_in))
             fan_in = x_cur.shape[-1]
             bound = 1.0 / float(fan_in) ** 0.5
-            return nn.Dense(
+            mod = nn.Dense(
                 features,
                 kernel_init=_uniform(bound),
                 bias_init=_uniform(bound),
+                dtype=gdt,  # None => f32 exact
                 name=name,
             )
+            if gdt is None:
+                return mod
+            return lambda h: mod(h).astype(jnp.float32)
 
         x_cur = x
         if self.num_layers == 1:

@@ -73,6 +73,9 @@ class ACMGNN(nn.Module):
     # only): layer 1 aggregates its input instead of its projections, and
     # no-dropout branches ride the precomputed ``ops.x_agg`` gather-free.
     hoist_first: bool = False
+    # channel-projection GEMM operand dtype (ACMConv/MLPBlock.gemm_dtype;
+    # "bfloat16" = MXU-native operands, f32 accumulation)
+    gemm_dtype: Optional[str] = None
 
     def _conv(
         self, out_features: int, name: str, input_hoist: bool = False
@@ -85,6 +88,7 @@ class ACMGNN(nn.Module):
             use_layernorm=self.use_layernorm,
             nnodes=self.nnodes,
             input_hoist=input_hoist,
+            gemm_dtype=self.gemm_dtype,
             name=name,
         )
 
@@ -126,6 +130,7 @@ class ACMGNN(nn.Module):
                 out_channels=self.nhid,
                 num_layers=self.init_layers_X,
                 dropout=0.0,
+                gemm_dtype=self.gemm_dtype,
                 name="mlpX",
             )
             mlp_x = mlp_mod(x, training=training)

@@ -50,6 +50,11 @@ class TrainConfig:
     normalization: str = "row"        # low-pass normalization
     operator_format: str = "auto"     # "auto" | "dense" | "coo" | "ell"
     spmm_dtype: str = "float32"       # "bfloat16": halve ELL gather traffic
+    # channel-projection GEMM operand dtype: "bfloat16" runs the X·W
+    # projections (and the acmgcnpp skip-MLP) with MXU-native bf16
+    # operands + float32 accumulation — the lever for GEMM-bound
+    # wide-feature regimes (Penn94 F=4814).  Attention GEMMs stay f32.
+    gemm_dtype: str = "float32"       # "float32" | "bfloat16"
     reorder: str = "none"             # "rcm"|"degree": gather-locality perm
     # multi-chip row partition: "contiguous" (nnz-balanced blocks) or
     # "fennel" (streaming min-cut-ish, parallel/partition.py — shrinks

@@ -86,6 +86,9 @@ def build_model(cfg: TrainConfig, nclass: int, nnodes: int) -> ACMGNN:
         alpha=cfg.alpha,
         lamda=cfg.lamda,
         hoist_first=cfg.resolve_hoist(),
+        gemm_dtype=(
+            None if cfg.gemm_dtype == "float32" else cfg.gemm_dtype
+        ),
     )
 
 
@@ -805,6 +808,7 @@ def run_experiment_sharded(
     checkpoint_dir: Optional[str] = None,
     checkpoint_every: int = 0,
     resume: bool = False,
+    per_host_loading: bool = False,
 ) -> dict:
     """Multi-chip full-batch training over a ``Mesh``.
 
@@ -818,6 +822,13 @@ def run_experiment_sharded(
     ``exchange``: SpMM communication pattern — "allgather" (full feature
     all-gather), "halo" (dedup'd boundary all_to_all; pair with
     ``cfg.reorder`` for locality), or "auto" (by exchanged volume).
+
+    ``per_host_loading``: place node arrays via
+    ``shard_node_array_per_host`` — each process materializes ONLY the
+    row slabs its addressable devices own (the multi-host path; on a
+    TPU pod each host device_puts its own partitions instead of a full
+    copy).  Identical results either way (tested single- and
+    two-process).
     """
     from acmgnn_tpu.parallel.sharded import (
         make_graph_mesh,
@@ -895,9 +906,25 @@ def run_experiment_sharded(
         else labels_np.astype(np.float32)
     )
 
-    x = shard_node_array(features, boundaries, rpp, mesh)
-    labels = shard_node_array(labels_np.astype(np.int32), boundaries, rpp, mesh)
-    labels_onehot = shard_node_array(onehot_np, boundaries, rpp, mesh)
+    if per_host_loading:
+        from acmgnn_tpu.parallel.multihost import shard_node_array_per_host
+
+        def place(arr):
+            # in-memory slab loader: each process's callback touches only
+            # its own partitions' rows (a real deployment passes an
+            # mmap/file-backed loader with the same (r0, r1) contract)
+            arr = np.asarray(arr)
+            return shard_node_array_per_host(
+                lambda r0, r1: arr[r0:r1], boundaries, rpp, mesh,
+                arr.dtype, trailing_shape=arr.shape[1:],
+            )
+    else:
+        def place(arr):
+            return shard_node_array(arr, boundaries, rpp, mesh)
+
+    x = place(features)
+    labels = place(labels_np.astype(np.int32))
+    labels_onehot = place(onehot_np)
     if cfg.resolve_hoist():
         # first-layer hoist aggregate, computed with the sharded operator
         # itself so the result lands row-sharded like x; wide-feature
@@ -933,9 +960,7 @@ def run_experiment_sharded(
     steady_epochs = 0
     for idx in range(cfg.num_splits):
         tr, va, te = resolve_split(data, cfg, idx, rng, labels_np, nclass)
-        masks = tuple(
-            shard_node_array(m, boundaries, rpp, mesh) for m in (tr, va, te)
-        )
+        masks = tuple(place(m) for m in (tr, va, te))
         split_key = jax.random.fold_in(key, idx)
         init_key, run_key = jax.random.split(split_key)
         variables = model.init(init_key, x, ops)

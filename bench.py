@@ -293,6 +293,7 @@ def bench_epoch_twitch_scale(epochs=30, warmup=5, graph="uniform",
         ell_hub_threshold=hub_threshold,
         ell_block=int(os.environ.get("ACMGNN_BENCH_BLOCK", "1")),
         spmm_dtype=os.environ.get("ACMGNN_BENCH_DTYPE", "bfloat16"),
+        gemm_dtype=os.environ.get("ACMGNN_BENCH_GEMM", "float32"),
         joint=os.environ.get("ACMGNN_BENCH_JOINT", "1") == "1",
         hoist_first=os.environ.get("ACMGNN_BENCH_HOIST", "1") == "1",
     )
@@ -485,6 +486,7 @@ def bench_epoch_linkx_scale(name, epochs=30, reorder="none",
         reorder=reorder,
         ell_hub_threshold=hub_threshold,
         spmm_dtype=os.environ.get("ACMGNN_BENCH_DTYPE", "bfloat16"),
+        gemm_dtype=os.environ.get("ACMGNN_BENCH_GEMM", "float32"),
         joint=(os.environ.get("ACMGNN_BENCH_JOINT", "1") == "1"
                and spec["model"] != "acmsgc"),
         hoist_first=os.environ.get("ACMGNN_BENCH_HOIST", "1") == "1",
@@ -627,6 +629,7 @@ def bench_epoch_wiki(epochs=10):
         selection="val_metric",
         operator_format="ell",
         spmm_dtype=os.environ.get("ACMGNN_BENCH_DTYPE", "bfloat16"),
+        gemm_dtype=os.environ.get("ACMGNN_BENCH_GEMM", "float32"),
         # joint doubles branch-temp co-residency (measured 18.79G
         # unhoisted / 22.74G hoisted vs the 15.75G chip) -> sequential
         # loop at this scale; the hoist's x_agg argument (+2.15G bf16)
