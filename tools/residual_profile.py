@@ -1,0 +1,229 @@
+"""Attribute a bench scenario's epoch time above the gather floor.
+
+VERDICT r3 items #3 (headline ~45 ms residual) and #5 (genius 58 ms of
+non-gather time) ask for a trace-backed breakdown, not prose.  This tool
+
+1. rebuilds a bench scenario exactly as bench.py does (same builders,
+   same headline config),
+2. captures a ``jax.profiler`` trace of a short fused run (few epochs),
+3. parses the xplane protobuf directly (the tensorboard-plugin
+   converter is broken against this TF build; the XSpace proto itself
+   is importable) and aggregates device-plane op durations into labeled
+   groups (gather / reduce / dot / sort / convert / other),
+4. writes ``experiments/residual_profile_<scenario>.json`` with the
+   per-op table, group totals, and the scenario's measured epoch time
+   for the PERF.md attribution.
+
+Run SOLO on the TPU (shared chip — see CLAUDE.md):
+    python -u tools/residual_profile.py --scenario epoch
+    python -u tools/residual_profile.py --scenario epoch_genius
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+# the xplane proto only imports under the pure-python protobuf impl
+os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+
+import numpy as np  # noqa: E402
+
+
+def build_scenario(scenario):
+    """Same graph/config/runner as the bench scenario, short epoch count."""
+    import jax
+    import jax.numpy as jnp
+
+    import bench
+    from acmgnn_tpu.ops.graph import GraphData
+    from acmgnn_tpu.ops.native import build_sym_adjacency
+    from acmgnn_tpu.train.config import TrainConfig
+    from acmgnn_tpu.train.trainer import (
+        build_model,
+        make_split_runner,
+        prepare_data,
+    )
+
+    epochs = int(os.environ.get("ACMGNN_PROFILE_EPOCHS", "10"))
+    if scenario == "epoch":
+        adj, features, labels = bench._twitch_gamers_scale_graph()
+        spec = dict(model="acmgcnp", rocauc=False, structure_info=False)
+        f = features.shape[1]
+    else:
+        name = scenario.removeprefix("epoch_")
+        spec = bench.LINKX_SCALE[name]
+        rng = np.random.default_rng(0)
+        n, e = spec["n"], spec["e"]
+        src, dst = bench._chung_lu_edges(n, e, spec.get("max_deg", 0), 0)
+        adj = build_sym_adjacency(src, dst, n)
+        features = rng.normal(size=(n, spec["f"])).astype(np.float32)
+        labels = rng.integers(0, spec["c"], size=n).astype(np.int32)
+        f = spec["f"]
+    data = GraphData(
+        name=f"{scenario}-profile", adj=adj, features=features,
+        labels=labels,
+    )
+    cfg = TrainConfig(
+        model_type=spec["model"],
+        hidden=64,
+        dropout=0.5,
+        lr=0.01,
+        weight_decay=1e-3,
+        epochs=epochs,
+        early_stopping=0,
+        structure_info=spec.get("structure_info", False),
+        selection="val_metric",
+        metric="rocauc" if spec.get("rocauc") else "acc",
+        loss="bce" if spec.get("rocauc") else "nll",
+        operator_format="ell",
+        spmm_dtype=os.environ.get("ACMGNN_BENCH_DTYPE", "bfloat16"),
+        gemm_dtype=os.environ.get("ACMGNN_BENCH_GEMM", "float32"),
+        joint=os.environ.get("ACMGNN_BENCH_JOINT", "1") == "1",
+        hoist_first=os.environ.get("ACMGNN_BENCH_HOIST", "1") == "1",
+    )
+    data, ops, x, y, y1h, nclass = prepare_data(data, cfg)
+    n = data.num_nodes
+    rng = np.random.default_rng(1)
+    perm = rng.permutation(n)
+    masks_np = np.zeros((3, n), bool)
+    masks_np[0, perm[: n // 2]] = True
+    masks_np[1, perm[n // 2: 3 * n // 4]] = True
+    masks_np[2, perm[3 * n // 4:]] = True
+    masks = tuple(jnp.asarray(m) for m in masks_np)
+    model = build_model(cfg, nclass, n)
+    runner = jax.jit(make_split_runner(model, cfg))
+    variables = model.init(jax.random.key(0), x, ops)
+    args = (variables, ops, x, y, y1h, masks)
+    return runner, args, cfg, epochs, f
+
+
+def parse_xspace(trace_dir):
+    """Aggregate device-plane event durations by op name.
+
+    Returns (plane_name -> {op_name: total_ms}) for every non-host
+    plane found, plus the host python plane skipped."""
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    paths = sorted(Path(trace_dir).rglob("*.xplane.pb"))
+    if not paths:
+        raise FileNotFoundError(f"no xplane.pb under {trace_dir}")
+    out = {}
+    for p in paths:
+        xs = xplane_pb2.XSpace()
+        xs.ParseFromString(p.read_bytes())
+        for plane in xs.planes:
+            meta = {m.id: m.name for m in plane.event_metadata.values()}
+            agg = {}
+            for line in plane.lines:
+                for ev in line.events:
+                    nm = meta.get(ev.metadata_id, str(ev.metadata_id))
+                    agg[nm] = agg.get(nm, 0.0) + ev.duration_ps / 1e9
+            if agg:
+                prev = out.setdefault(plane.name, {})
+                for k, v in agg.items():
+                    prev[k] = prev.get(k, 0.0) + v
+    return out
+
+
+GROUPS = [
+    ("gather", ("gather",)),
+    ("scatter", ("scatter",)),
+    ("dot/MXU", ("dot", "conv")),
+    ("sort", ("sort",)),
+    ("reduce", ("reduce",)),
+    ("convert/copy", ("convert", "copy", "bitcast", "transpose")),
+    ("loop/control", ("while", "condition", "body", "call")),
+]
+
+
+def group_ops(agg):
+    groups = {g: 0.0 for g, _ in GROUPS}
+    groups["other"] = 0.0
+    for name, ms in agg.items():
+        low = name.lower()
+        for g, keys in GROUPS:
+            if any(k in low for k in keys):
+                groups[g] += ms
+                break
+        else:
+            groups["other"] += ms
+    return groups
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scenario", default="epoch")
+    ap.add_argument("--trace_dir", default="/tmp/acmgnn_residual_trace")
+    ap.add_argument("--top", type=int, default=40)
+    args = ap.parse_args()
+
+    import jax
+
+    runner, rargs, cfg, epochs, f = build_scenario(args.scenario)
+    variables, ops, x, y, y1h, masks = rargs
+    # warm (compile) + one clean timed run for the reference epoch_ms
+    jax.device_get(runner(variables, jax.random.key(1), *rargs[1:]))
+    t0 = time.perf_counter()
+    jax.device_get(runner(variables, jax.random.key(2), *rargs[1:]))
+    epoch_ms = 1000.0 * (time.perf_counter() - t0) / epochs
+
+    import shutil
+
+    shutil.rmtree(args.trace_dir, ignore_errors=True)
+    with jax.profiler.trace(args.trace_dir):
+        jax.device_get(runner(variables, jax.random.key(3), *rargs[1:]))
+
+    planes = parse_xspace(args.trace_dir)
+    print(f"planes found: {list(planes)}", file=sys.stderr)
+    # pick the device plane(s): anything that isn't the python/host one
+    dev_planes = {
+        k: v for k, v in planes.items()
+        if "python" not in k.lower() and "host" not in k.lower()
+    }
+    result = {
+        "scenario": args.scenario,
+        "epochs": epochs,
+        "epoch_ms": round(epoch_ms, 3),
+        "config": {
+            "spmm_dtype": cfg.spmm_dtype,
+            "gemm_dtype": cfg.gemm_dtype,
+            "joint": cfg.joint,
+            "hoist_first": cfg.hoist_first,
+            "features": f,
+        },
+        "planes": {},
+    }
+    for pname, agg in (dev_planes or planes).items():
+        top = sorted(agg.items(), key=lambda kv: -kv[1])[: args.top]
+        total = sum(agg.values())
+        result["planes"][pname] = {
+            "total_ms": round(total, 3),
+            "total_ms_per_epoch": round(total / epochs, 3),
+            "groups_ms_per_epoch": {
+                k: round(v / epochs, 3)
+                for k, v in group_ops(agg).items()
+            },
+            "top_ops_ms_per_epoch": [
+                [nm, round(ms / epochs, 3)] for nm, ms in top
+            ],
+        }
+    out_path = Path(__file__).resolve().parent.parent / "experiments" / (
+        f"residual_profile_{args.scenario}.json"
+    )
+    out_path.write_text(json.dumps(result, indent=1))
+    print(json.dumps({k: v for k, v in result.items() if k != "planes"}))
+    for pname, info in result["planes"].items():
+        print(f"== {pname}: {info['total_ms_per_epoch']} ms/epoch ==")
+        print(json.dumps(info["groups_ms_per_epoch"], indent=1))
+        for nm, ms in info["top_ops_ms_per_epoch"][:15]:
+            print(f"  {ms:9.3f} ms  {nm}")
+
+
+if __name__ == "__main__":
+    main()
