@@ -894,7 +894,8 @@ def bench_texas(epochs=500):
 
 
 def bench_scaling(max_devices=None, repeats=20, fmt="ell",
-                  exchange="allgather", graph="twitch", reorder=None):
+                  exchange="allgather", graph="twitch", reorder=None,
+                  spmm_dtype="float32"):
     """Sharded-SpMM scaling efficiency across the available mesh sizes.
 
     On a real multi-chip slice this measures the BASELINE.json target
@@ -944,7 +945,11 @@ def bench_scaling(max_devices=None, repeats=20, fmt="ell",
         mesh = make_graph_mesh(jax.devices()[:nd])
         if fmt == "ell":
             op, boundaries = make_sharded_ell_op(
-                a_hat, mesh, exchange=exchange
+                a_hat, mesh, exchange=exchange,
+                gather_dtype=(
+                    jnp.bfloat16 if spmm_dtype == "bfloat16"
+                    else jnp.float32
+                ),
             )
             f = jax.jit(lambda x_: sharded_ell_spmm(op, x_, mesh))
         else:
@@ -961,6 +966,9 @@ def bench_scaling(max_devices=None, repeats=20, fmt="ell",
         jax.block_until_ready(out)
         dt = (time.perf_counter() - t0) / repeats
         row = {"devices": nd, "edges_per_s": round(op.nnz / dt)}
+        hub = getattr(op, "hub_mat", None)
+        if hub is not None:
+            row["hub_rows"] = int(hub.shape[1])
         if getattr(op, "halo_pad", 0):
             # exchanged rows per device pair slab (dedup'd halo volume)
             row["halo_pad"] = int(op.halo_pad)
@@ -977,6 +985,7 @@ def bench_scaling(max_devices=None, repeats=20, fmt="ell",
             "rows": rows,
             "graph": graph,
             "reorder": reorder,
+            "spmm_dtype": spmm_dtype,
             "device": str(jax.devices()[0]),
         },
     }
@@ -1002,6 +1011,10 @@ def main():
     p.add_argument("--graph", default="twitch",
                    choices=["twitch", "powerlaw", "banded"])
     p.add_argument("--reorder", default=None, choices=[None, "rcm", "degree"])
+    p.add_argument("--spmm_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="scaling scenario: gather/exchange dtype of the "
+                        "sharded operator (production config = bfloat16)")
     p.add_argument("--repeats", type=int, default=20)
     args = p.parse_args()
     if args.scenario == "epoch":
@@ -1026,6 +1039,7 @@ def main():
         result = bench_scaling(
             fmt=args.fmt, exchange=args.exchange, graph=args.graph,
             reorder=args.reorder, repeats=args.repeats,
+            spmm_dtype=args.spmm_dtype,
         )
     else:
         result = bench_texas()

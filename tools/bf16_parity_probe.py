@@ -45,7 +45,7 @@ OURS_F32 = {"squirrel": (66.00, 1.40), "cora": (87.81, 1.49),
             "film": (36.03, 1.31)}
 
 
-def run_bce_rocauc(hoist=False):
+def run_bce_rocauc(hoist=False, gemm=False):
     """The headline config on a BCE + ROC-AUC task: the planted binary
     LINKX-shaped graph from tools/geometric_oracle.py (f32 oracle: ours
     93.80 +- 0.21, reference's own code 93.76 +- 0.59 — PARITY.md)."""
@@ -74,6 +74,7 @@ def run_bce_rocauc(hoist=False):
         loss="bce",
         operator_format="ell",
         spmm_dtype="bfloat16",
+        gemm_dtype="bfloat16" if gemm else "float32",
         joint=True,
         hoist_first=hoist,
     )
@@ -98,6 +99,10 @@ def main():
     ap.add_argument("--hoist", action="store_true",
                     help="also enable the first-layer input hoist (the "
                          "round-2 headline config)")
+    ap.add_argument("--gemm", action="store_true",
+                    help="also run the channel-projection GEMMs with "
+                         "bf16 operands / f32 accumulation (gemm_dtype="
+                         "bfloat16 — the Penn94-regime MXU lever)")
     args = ap.parse_args()
     configs = EXTENDED_CONFIGS if args.extended else CONFIGS
     for ds, lr, wd, dropout, sinfo in configs:
@@ -115,6 +120,7 @@ def main():
             selection="val_loss",
             operator_format="ell",     # force the gather path everywhere
             spmm_dtype="bfloat16",
+            gemm_dtype="bfloat16" if args.gemm else "float32",
             joint=True,
             hoist_first=args.hoist,
         )
@@ -122,6 +128,7 @@ def main():
         out = run_experiment(ds, cfg)
         print(json.dumps({
             "dataset": ds,
+            "gemm_dtype": "bfloat16" if args.gemm else "float32",
             "bf16_joint_mean": round(100 * out["test_mean"], 2),
             "bf16_joint_std": round(100 * out["test_std"], 2),
             "ours_f32": OURS_F32[ds],
@@ -129,7 +136,7 @@ def main():
             "wall_s": round(time.time() - t0, 1),
         }), flush=True)
     if args.extended:
-        run_bce_rocauc(hoist=args.hoist)
+        run_bce_rocauc(hoist=args.hoist, gemm=args.gemm)
 
 
 if __name__ == "__main__":
