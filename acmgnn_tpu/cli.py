@@ -115,6 +115,11 @@ def _add_train_args(p: argparse.ArgumentParser):
                    help="sharded SpMM communication: full feature "
                         "all-gather, dedup'd boundary halo all_to_all "
                         "(pair with --reorder rcm), or auto by volume")
+    p.add_argument("--per_host_loading", type=int, default=0,
+                   help="sharded runs: place node arrays via per-host "
+                        "slab loading (each process materializes only "
+                        "the row slabs its devices own — the multi-host "
+                        "path; auto-on under a multi-process runtime)")
     p.add_argument("--partition", choices=["contiguous", "fennel"],
                    default="contiguous",
                    help="multi-chip row partition: nnz-balanced "
@@ -240,6 +245,8 @@ def _run_train(args, cfg, logger):
             checkpoint_dir=args.checkpoint_dir or None,
             checkpoint_every=args.checkpoint_every,
             resume=args.resume,
+            per_host_loading=bool(args.per_host_loading)
+            or jax.process_count() > 1,
         )
     elif args.stepwise or args.checkpoint_dir:
         from acmgnn_tpu.train.trainer import run_experiment_stepwise
