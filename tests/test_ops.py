@@ -238,6 +238,15 @@ def test_ell_hub_hybrid_matches_dense():
     # column 3 is a full column = hub row of the transpose)
     assert op.fwd.hub_mat is not None and op.fwd.hub_mat.shape[0] >= 1
     assert op.bwd.hub_mat is not None
+    # hub_nnz bookkeeping (the roofline excludes hub-resident entries
+    # from descriptor counts): must equal the nnz of the extracted rows
+    deg = np.diff(mat.indptr)
+    n_hub = op.fwd.hub_mat.shape[0]
+    expect = int(np.sort(deg)[::-1][:n_hub].sum())
+    assert op.fwd.hub_nnz == expect, (op.fwd.hub_nnz, expect)
+    degT = np.diff(mat.T.tocsr().indptr)
+    n_hub_t = op.bwd.hub_mat.shape[0]
+    assert op.bwd.hub_nnz == int(np.sort(degT)[::-1][:n_hub_t].sum())
 
     x = jnp.asarray(
         np.random.default_rng(5).normal(size=(mat.shape[0], 20)).astype(np.float32)
