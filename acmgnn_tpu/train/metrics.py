@@ -65,55 +65,70 @@ def _sort_scores(scores: jnp.ndarray):
     return order, s_sorted, group_id
 
 
-def _auc_from_sorted(order, group_id, y, mask, dtype):
-    """Mann-Whitney AUC with average-rank tie handling over masked nodes,
-    from a precomputed mask-independent sort.
-
-    Exactly sklearn.roc_auc_score on the masked subset; returns NaN when a
-    class is absent.  Unmasked rows may share tie groups with masked
+def _auc_from_sorted_batch(order, group_id, y, masks_mat, dtype):
+    """Mann-Whitney AUCs (average-rank ties) for M masks at once, from a
+    precomputed mask-independent sort.  Returns an ``[M]`` vector; entry
+    i is exactly sklearn.roc_auc_score on mask i's subset (NaN when a
+    class is absent).  Unmasked rows may share tie groups with masked
     ones; they carry zero rank weight and are excluded from the group
     min/max, so the masked average-rank is unaffected.
 
-    Tie groups are CONTIGUOUS runs of the sorted order, so the per-group
-    min/max masked rank are boundary lookups, not segment reductions:
-    min = (masked count before the group's first row) + 1, max = masked
-    count through the group's last row.  This keeps the whole metric on
-    cumulative scans + gathers — the earlier segment_min/max formulation
-    lowered to TPU scatters, which serialize (PERF.md) and dominated the
-    genius-scale eval.
+    Two TPU shapes matter here (residual_profile genius trace):
+
+    - Tie groups are CONTIGUOUS runs of the sorted order, so per-group
+      min/max masked rank are boundary lookups via two log-depth scans —
+      not segment reductions (which lower to serializing scatters).
+    - Every [N] gather is batched across masks (and the label rides the
+      mask gather as an extra column): a single-column take at 421k rows
+      costs 3-9 ms on TPU — one descriptor per ROW regardless of width —
+      so per-mask takes cost M× for no reason.  One [N, 1+M] take + two
+      [N, M] rank takes replace the ~13 single-column takes the per-mask
+      formulation issued (genius eval: the dominant non-SpMM cost).
     """
     n = order.shape[0]
-    m_bool = mask[order]
-    y_sorted = jnp.where(m_bool, y[order], -1)  # -1 = ignore
+    # label + all masks share ONE row gather (0/1 ints are exact in f32)
+    packed = jnp.concatenate(
+        [y.reshape(-1, 1).astype(jnp.float32),
+         masks_mat.astype(jnp.float32)],
+        axis=1,
+    )
+    g = jnp.take(packed, order, axis=0)   # [N, 1+M]
+    y_perm = g[:, 0]
+    m_bool = g[:, 1:] > 0                 # [N, M]
 
     # rank among masked elements (1-based, ascending); int32 keeps the
     # prefix counts exact beyond f32's 2^24 integer range
     m_i32 = m_bool.astype(jnp.int32)
-    ranks = jnp.cumsum(m_i32)           # masked count through row i
-    ranks_before = ranks - m_i32        # masked count before row i
+    ranks = jnp.cumsum(m_i32, axis=0)     # masked count through row i
+    ranks_before = ranks - m_i32          # masked count before row i
     idx = jnp.arange(n, dtype=jnp.int32)
     new_group = jnp.concatenate(
         [jnp.ones((1,), bool), group_id[1:] != group_id[:-1]]
     )
     end_flag = jnp.concatenate([new_group[1:], jnp.ones((1,), bool)])
     # position of each row's group start (propagate forward) / end
-    # (propagate backward) — log-depth scans
+    # (propagate backward) — log-depth scans, mask-independent
     start_pos = jax.lax.cummax(jnp.where(new_group, idx, 0))
     end_pos = jnp.flip(
         jax.lax.cummin(jnp.flip(jnp.where(end_flag, idx, n - 1)))
     )
-    avg_rank = (
-        ranks_before[start_pos].astype(dtype)
-        + 1.0
-        + ranks[end_pos].astype(dtype)
-    ) / 2.0
+    lo = jnp.take(ranks_before, start_pos, axis=0)   # [N, M]
+    hi = jnp.take(ranks, end_pos, axis=0)            # [N, M]
+    avg_rank = (lo.astype(dtype) + 1.0 + hi.astype(dtype)) / 2.0
 
-    pos = (y_sorted == 1).astype(dtype)
-    n_pos = jnp.sum(pos)
+    pos = ((y_perm == 1.0)[:, None] & m_bool).astype(dtype)  # [N, M]
+    n_pos = jnp.sum(pos, axis=0)                             # [M]
     n_neg = ranks[-1].astype(dtype) - n_pos
-    rank_sum = jnp.sum(jnp.where(pos > 0, avg_rank, 0.0))
+    rank_sum = jnp.sum(avg_rank * pos, axis=0)
     auc = (rank_sum - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
     return jnp.where((n_pos > 0) & (n_neg > 0), auc, jnp.nan)
+
+
+def _auc_from_sorted(order, group_id, y, mask, dtype):
+    """Single-mask wrapper over the batched formulation."""
+    return _auc_from_sorted_batch(
+        order, group_id, y, mask.reshape(-1, 1), dtype
+    )[0]
 
 
 def _binary_auc_masked(scores: jnp.ndarray, y: jnp.ndarray, mask: jnp.ndarray):
@@ -137,22 +152,23 @@ def masked_rocauc_multi(logits: jnp.ndarray, labels: jnp.ndarray, masks):
     O(N log N) score sort (the dominant eval cost at genius scale —
     421k-row argsort per mask otherwise).  Returns one AUC per mask,
     each exactly ``masked_rocauc(logits, labels, mask)``."""
+    masks_mat = jnp.stack(masks, axis=1)
     if labels.ndim == 1 or labels.shape[-1] == 1:
         lab = labels.reshape(-1)
         scores = jax.nn.softmax(logits, axis=-1)[:, 1]
         order, _, group_id = _sort_scores(scores)
-        return tuple(
-            _auc_from_sorted(order, group_id, lab, m, scores.dtype)
-            for m in masks
+        aucs = _auc_from_sorted_batch(
+            order, group_id, lab, masks_mat, scores.dtype
         )
+        return tuple(aucs[i] for i in range(len(masks)))
     orders, group_ids = jax.vmap(
         lambda s: (lambda o, _, g: (o, g))(*_sort_scores(s)), in_axes=1
     )(logits)
-    outs = []
-    for m in masks:
-        aucs = jax.vmap(
-            lambda o, g, y: _auc_from_sorted(o, g, y, m, logits.dtype),
-            in_axes=(0, 0, 1),
-        )(orders, group_ids, labels)
-        outs.append(jnp.nanmean(aucs))
-    return tuple(outs)
+    # [C, M]: per-column AUC for every mask, masks batched inside
+    aucs = jax.vmap(
+        lambda o, g, y: _auc_from_sorted_batch(
+            o, g, y, masks_mat, logits.dtype
+        ),
+        in_axes=(0, 0, 1),
+    )(orders, group_ids, labels)
+    return tuple(jnp.nanmean(aucs[:, i]) for i in range(len(masks)))

@@ -182,43 +182,49 @@ def _hub_nnz(ops):
     return int(fwd or 0), int(bwd or 0)
 
 
-def _epoch_passes(nnz_f, nnz_b, hidden, f_in, *, joint, hoist,
+def _epoch_passes(nnz_f, nnz_b, hidden, f_in, nclass, *, joint, hoist,
                   structure=False):
     """Adjacency traversals of one 2-layer ACM epoch as
     ``(descriptor_rows, operand_width)`` pairs — the input to
     ``floor_from_passes``.
 
     Mirrors the fused-gather structure the runner actually traces
-    (models/layers.py): dual-channel concat makes each branch's pass
-    2*hidden wide; the joint loop fuses the eval branch in (4-wide);
-    the input hoist replaces layer-1's projected passes with one
-    f_in-wide input gather (train; no backward) and ZERO eval gathers
-    (precomputed aggregate) — train hoist only below the 128-column
-    cliff, eval hoist at any width."""
+    (models/layers.py; confirmed against the headline xplane trace,
+    tools/residual_profile.py): a layer's fused operand is the concat of
+    its CHANNEL PROJECTIONS, so layer 1 passes are 2*hidden wide per
+    branch while layer 2's are 2*nclass wide (out_features = C — e.g.
+    8/4-column operands at C=2, NOT 256/128; getting this wrong
+    overstated the r4 interim floors).  The joint loop fuses the eval
+    branch in (double width); the input hoist replaces layer-1's
+    projected passes with one f_in-wide input gather (train; no
+    backward) and ZERO eval gathers (precomputed aggregate) — train
+    hoist only below the 128-column cliff, eval hoist at any width."""
     passes = []
-    d2 = 2 * hidden
+    w1 = 2 * hidden    # layer-1 dual-channel projection width per branch
+    w2 = 2 * nclass    # layer-2 (output) projection width per branch
     train_hoist = hoist and f_in <= 128
     # --- layer 1 ---
     if train_hoist:
         passes.append((nnz_f, f_in))   # input gather; data => no bwd
     else:
         fused_eval = joint and not hoist
-        passes.append((nnz_f, 2 * d2 if fused_eval else d2))  # fwd
-        passes.append((nnz_b, d2))                            # bwd
+        passes.append((nnz_f, 2 * w1 if fused_eval else w1))  # fwd
+        passes.append((nnz_b, w1))                            # bwd
         if not joint and not hoist:
-            passes.append((nnz_f, d2))                        # eval fwd
+            passes.append((nnz_f, w1))                        # eval fwd
     # --- layer 2 ---
-    passes.append((nnz_f, 2 * d2 if joint else d2))
-    passes.append((nnz_b, d2))
+    passes.append((nnz_f, 2 * w2 if joint else w2))
+    passes.append((nnz_b, w2))
     if not joint:
-        passes.append((nnz_f, d2))
+        passes.append((nnz_f, w2))
     if structure:
-        # 4th channel per layer: one shared fwd gather of S ([N, hidden],
-        # shared across the train/eval branch pair) + its backward
-        # transpose (S is a learned parameter)
-        for _ in range(2):
-            passes.append((nnz_f, hidden))
-            passes.append((nnz_b, hidden))
+        # 4th channel: one shared fwd gather of S (shared across the
+        # train/eval branch pair) + its backward transpose (S is a
+        # learned parameter); S is [N, hidden] at layer 1, [N, nclass]
+        # at layer 2
+        for w in (hidden, nclass):
+            passes.append((nnz_f, w))
+            passes.append((nnz_b, w))
     return passes
 
 
@@ -340,7 +346,7 @@ def bench_epoch_twitch_scale(epochs=30, warmup=5, graph="uniform",
     hub_f, hub_b = _hub_nnz(ops)
     nnz = int(ops.adj_low.nnz)
     passes = _epoch_passes(
-        nnz - hub_f, nnz - hub_b, cfg.hidden, features.shape[1],
+        nnz - hub_f, nnz - hub_b, cfg.hidden, features.shape[1], nclass,
         joint=cfg.joint, hoist=cfg.resolve_hoist(),
     )
     traversals = len(passes)
@@ -522,7 +528,7 @@ def bench_epoch_linkx_scale(name, epochs=30, reorder="none",
     hub_f, hub_b = _hub_nnz(ops)
     nnz = int(ops.adj_low.nnz)
     passes = _epoch_passes(
-        nnz - hub_f, nnz - hub_b, cfg.hidden, spec["f"],
+        nnz - hub_f, nnz - hub_b, cfg.hidden, spec["f"], spec["c"],
         joint=cfg.joint, hoist=cfg.resolve_hoist(),
         structure=spec["structure_info"],
     )
@@ -653,7 +659,9 @@ def bench_epoch_wiki(epochs=10):
     nnz_low_est = int((adj + sp.eye(n, format="csr", dtype=adj.dtype)).nnz)
     floor_failed = None
     try:
+        # L1 passes are 2*hidden wide, L2 passes 2*nclass (5 classes)
         measure_gather_rate(n, nnz_low_est, 2 * cfg.hidden, cfg.spmm_dtype)
+        measure_gather_rate(n, nnz_low_est, 2 * 5, cfg.spmm_dtype)
     except Exception as e:  # never let the probe kill the measurement
         floor_failed = f"{type(e).__name__}: {e}"
 
@@ -692,7 +700,7 @@ def bench_epoch_wiki(epochs=10):
     nnz = int(ops.adj_low.nnz)
     passes = _epoch_passes(
         nnz - hub_f, nnz - hub_b, cfg.hidden, int(features.shape[1]),
-        joint=cfg.joint, hoist=cfg.resolve_hoist(),
+        nclass, joint=cfg.joint, hoist=cfg.resolve_hoist(),
     )
     detail = {
         "num_nodes": int(n),

@@ -103,11 +103,15 @@ def build_scenario(scenario):
     return runner, args, cfg, epochs, f
 
 
-def parse_xspace(trace_dir):
+def parse_xspace(trace_dir, line_filter=("XLA Ops",)):
     """Aggregate device-plane event durations by op name.
 
-    Returns (plane_name -> {op_name: total_ms}) for every non-host
-    plane found, plus the host python plane skipped."""
+    Device planes nest (Steps ⊃ Modules ⊃ Ops, plus an overlapped Async
+    line), so summing every line double-counts; the "XLA Ops" line holds
+    the non-overlapping leaf executions and is what attribution should
+    use.  Returns (plane_name -> {op_name: total_ms}) restricted to
+    ``line_filter`` lines on device planes (host planes keep all
+    lines)."""
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     paths = sorted(Path(trace_dir).rglob("*.xplane.pb"))
@@ -118,12 +122,32 @@ def parse_xspace(trace_dir):
         xs = xplane_pb2.XSpace()
         xs.ParseFromString(p.read_bytes())
         for plane in xs.planes:
+            is_dev = "TPU" in plane.name or "GPU" in plane.name
             meta = {m.id: m.name for m in plane.event_metadata.values()}
             agg = {}
             for line in plane.lines:
-                for ev in line.events:
+                if is_dev and line_filter and line.name not in line_filter:
+                    continue
+                # SELF time: control ops (while/fusion wrappers) span
+                # their children on the same line, so inclusive sums
+                # double-count — subtract directly-nested durations via
+                # an interval stack over the (sorted) events
+                evs = sorted(
+                    line.events, key=lambda e: (e.offset_ps, -e.duration_ps)
+                )
+                stack = []  # (end_ps, index into selfs)
+                selfs = []
+                for ev in evs:
+                    start, dur = ev.offset_ps, ev.duration_ps
+                    while stack and stack[-1][0] <= start:
+                        stack.pop()
+                    if stack:
+                        selfs[stack[-1][1]] -= dur
+                    selfs.append(dur)
+                    stack.append((start + dur, len(selfs) - 1))
+                for ev, sf in zip(evs, selfs):
                     nm = meta.get(ev.metadata_id, str(ev.metadata_id))
-                    agg[nm] = agg.get(nm, 0.0) + ev.duration_ps / 1e9
+                    agg[nm] = agg.get(nm, 0.0) + max(sf, 0) / 1e9
             if agg:
                 prev = out.setdefault(plane.name, {})
                 for k, v in agg.items():
@@ -159,9 +183,12 @@ def group_ops(agg):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scenario", default="epoch")
-    ap.add_argument("--trace_dir", default="/tmp/acmgnn_residual_trace")
+    ap.add_argument("--trace_dir", default=None,
+                    help="default /tmp/acmgnn_residual_trace_<scenario>")
     ap.add_argument("--top", type=int, default=40)
     args = ap.parse_args()
+    if args.trace_dir is None:
+        args.trace_dir = f"/tmp/acmgnn_residual_trace_{args.scenario}"
 
     import jax
 
