@@ -155,29 +155,44 @@ def parse_xspace(trace_dir, line_filter=("XLA Ops",)):
     return out
 
 
-GROUPS = [
-    ("gather", ("gather",)),
-    ("scatter", ("scatter",)),
-    ("dot/MXU", ("dot", "conv")),
-    ("sort", ("sort",)),
-    ("reduce", ("reduce",)),
-    ("convert/copy", ("convert", "copy", "bitcast", "transpose")),
-    ("loop/control", ("while", "condition", "body", "call")),
-]
+def _classify(name):
+    """Bucket one XLA op by its RESULT-NAME prefix (XLA names fusions
+    after their root op), not by substring over the whole line — the
+    textual operand list contains 'calls=%fused_computation...', which a
+    naive substring match mis-bucketed as control flow."""
+    low = name.lower()
+    lhs = low.lstrip("%").split(" ", 1)[0]      # e.g. fusion.932
+    lhs = lhs.rsplit(".", 1)[0]                  # strip the id
+    if "while" in lhs or "conditional" in lhs:
+        return "loop-overhead"
+    if lhs.startswith(("copy", "bitcast", "transpose", "convert",
+                       "reshape", "broadcast", "dynamic-update-slice")):
+        return "copy/layout"
+    if "sort" in lhs:
+        return "sort"
+    if "gather" in lhs:
+        return "gather"
+    if "reduce" in lhs:
+        return "reduce"
+    if "dot" in lhs or "conv" in lhs:
+        return "dot/MXU"
+    if "scatter" in lhs:
+        return "scatter"
+    if lhs.startswith("fusion") or lhs.startswith("pad_clamp"):
+        # anonymous kCustom fusions taking an s32 index operand are the
+        # ELL row gathers (pad_clamp_fusion feeds the clamped indices)
+        if "pad_clamp_fusion" in low or "s32[" in low.split("fusion(")[-1]:
+            return "gather"
+        return "fusion/elementwise"
+    return "other"
 
 
 def group_ops(agg):
-    groups = {g: 0.0 for g, _ in GROUPS}
-    groups["other"] = 0.0
+    groups = {}
     for name, ms in agg.items():
-        low = name.lower()
-        for g, keys in GROUPS:
-            if any(k in low for k in keys):
-                groups[g] += ms
-                break
-        else:
-            groups["other"] += ms
-    return groups
+        g = _classify(name)
+        groups[g] = groups.get(g, 0.0) + ms
+    return dict(sorted(groups.items(), key=lambda kv: -kv[1]))
 
 
 def main():
