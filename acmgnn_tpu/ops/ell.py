@@ -403,6 +403,29 @@ def _bucket_spmm(
     vals = vals.astype(jnp.bfloat16 if unpack_dim is not None else x.dtype)
     blk = bucket.block
 
+    import os
+
+    unroll = os.environ.get("ACMGNN_ELL_SLOTSUM", "unroll") == "unroll"
+
+    def _slot_reduce(prod):
+        """f32 accumulation over the leading slot axis.
+
+        Default: unrolled add tree over slices instead of a reduce op —
+        XLA's reduce wanted the {0,1} layout and COPIED every chunk's
+        gather output {1,0}->{0,1} first (headline xplane trace: ~35
+        ms/epoch of pure relayout; the slice+add chain consumes the
+        gather's native layout).  Measured tools/slotsum_probe.py: -14%
+        on the 8-wide L2 pass, neutral at 4/7 wide.  Same f32
+        accumulation; add order differs from jnp.sum's pairwise tree at
+        the float-association level only (ACMGNN_ELL_SLOTSUM=sum for
+        the reduce-op form)."""
+        if unroll:
+            out = prod[0].astype(jnp.float32)
+            for k in range(1, int(prod.shape[0])):
+                out = out + prod[k].astype(jnp.float32)
+            return out
+        return jnp.sum(prod, axis=0, dtype=jnp.float32)
+
     # per-chunk planes are [kc, n_rows] (rows MINOR — see EllBucket);
     # gathers produce [kc, n_rows, d] and reduce over the leading slot
     # axis into the f32 accumulator
@@ -413,7 +436,7 @@ def _bucket_spmm(
             g = jax.lax.bitcast_convert_type(g, jnp.bfloat16).reshape(
                 -1, n_rows, d
             )
-            return jnp.sum(g * v[..., None], axis=0, dtype=jnp.float32)
+            return _slot_reduce(g * v[..., None])
     elif blk > 1:
         n_pad = -(-x.shape[0] // blk) * blk
         xb = jnp.pad(x, ((0, n_pad - x.shape[0]), (0, 0))).reshape(
@@ -428,8 +451,7 @@ def _bucket_spmm(
     else:
 
         def chunk_sum(c, v):
-            prod = jnp.take(x, c, axis=0) * v[..., None]
-            return jnp.sum(prod, axis=0, dtype=jnp.float32)
+            return _slot_reduce(jnp.take(x, c, axis=0) * v[..., None])
 
     if nchunks == 1:
         return chunk_sum(cols[0], vals[0])
