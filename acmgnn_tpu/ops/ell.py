@@ -410,16 +410,19 @@ def _bucket_spmm(
     def _slot_reduce(prod):
         """f32 accumulation over the leading slot axis.
 
-        Default: unrolled add tree over slices instead of a reduce op —
-        XLA's reduce wanted the {0,1} layout and COPIED every chunk's
-        gather output {1,0}->{0,1} first (headline xplane trace: ~35
-        ms/epoch of pure relayout; the slice+add chain consumes the
-        gather's native layout).  Measured tools/slotsum_probe.py: -14%
-        on the 8-wide L2 pass, neutral at 4/7 wide.  Same f32
-        accumulation; add order differs from jnp.sum's pairwise tree at
-        the float-association level only (ACMGNN_ELL_SLOTSUM=sum for
-        the reduce-op form)."""
-        if unroll:
+        NARROW operands (<= 16 columns) reduce via an unrolled
+        slice+add tree instead of a reduce op — XLA's reduce wanted the
+        {0,1} layout and COPIED every chunk's gather output
+        {1,0}->{0,1} first (headline xplane trace: ~35 ms/epoch of
+        relayout); the add chain consumes the gather's native layout.
+        Measured (tools/slotsum_probe.py + epoch A/B): -14% on the
+        8-wide pass probe, epoch-neutral at headline (copies were
+        overlapped), but the unroll REGRESSES wide passes (arxiv 128-col
+        input gather 42.9 -> 46.7 ms/epoch; penn94 L1 similarly), hence
+        the width cut.  Same f32 accumulation; add order differs from
+        jnp.sum's pairwise tree at the float-association level only
+        (ACMGNN_ELL_SLOTSUM=sum forces the reduce-op form everywhere)."""
+        if unroll and int(prod.shape[-1]) <= 16:
             out = prod[0].astype(jnp.float32)
             for k in range(1, int(prod.shape[0])):
                 out = out + prod[k].astype(jnp.float32)
