@@ -405,23 +405,22 @@ def _bucket_spmm(
 
     import os
 
-    unroll = os.environ.get("ACMGNN_ELL_SLOTSUM", "unroll") == "unroll"
+    unroll = os.environ.get("ACMGNN_ELL_SLOTSUM", "sum") == "unroll"
 
     def _slot_reduce(prod):
         """f32 accumulation over the leading slot axis.
 
-        NARROW operands (<= 16 columns) reduce via an unrolled
-        slice+add tree instead of a reduce op — XLA's reduce wanted the
-        {0,1} layout and COPIED every chunk's gather output
-        {1,0}->{0,1} first (headline xplane trace: ~35 ms/epoch of
-        relayout); the add chain consumes the gather's native layout.
-        Measured (tools/slotsum_probe.py + epoch A/B): -14% on the
-        8-wide pass probe, epoch-neutral at headline (copies were
-        overlapped), but the unroll REGRESSES wide passes (arxiv 128-col
-        input gather 42.9 -> 46.7 ms/epoch; penn94 L1 similarly), hence
-        the width cut.  Same f32 accumulation; add order differs from
-        jnp.sum's pairwise tree at the float-association level only
-        (ACMGNN_ELL_SLOTSUM=sum forces the reduce-op form everywhere)."""
+        Default: plain reduce op.  ACMGNN_ELL_SLOTSUM=unroll swaps
+        narrow (<= 16-column) operands to an unrolled slice+add tree —
+        built because the headline trace showed ~35 ms/epoch of
+        {1,0}->{0,1} relayout copies feeding the reduce, and the pass
+        probe (tools/slotsum_probe.py) measured -14% at 8 wide.  Epoch
+        A/B then showed the copies were OVERLAPPED (headline/banded
+        neutral, genius -1 ms) while the unroll regressed wide passes
+        (arxiv 42.9 -> 46.7) and bucket-heavy powerlaw (130.1 -> 155.3),
+        so the reduce stays the default; the knob is kept as a measured
+        dead end (same class as ell_block/pack).  Both forms accumulate
+        f32; add order differs at the float-association level only."""
         if unroll and int(prod.shape[-1]) <= 16:
             out = prod[0].astype(jnp.float32)
             for k in range(1, int(prod.shape[0])):
