@@ -393,10 +393,17 @@ def bench_epoch_twitch_scale(epochs=30, warmup=5, graph="uniform",
 # rare celebrity hubs).  These are documented ASSUMPTIONS at the
 # published qualitative profiles, not measurements of the (unbundled)
 # raw files; max_deg=0 keeps a uniform graph.
+# penn94's two rows are GEMM-bound (F=4814 projections), so they default
+# to gemm_dtype=bfloat16 (MXU-native operands, f32 accumulation) — the
+# measured lever for this regime (60.5 -> 57.8 / 111.8 -> 108.3 ms);
+# accuracy-neutral on the fixed-split parity suites
+# (tools/bf16_parity_probe.py --hoist --gemm: squirrel 66.15 +- 1.76 vs
+# paper 66.98 +- 1.71, cora 87.89, citeseer 76.80).  ACMGNN_BENCH_GEMM
+# overrides.
 LINKX_SCALE = {
     "penn94": dict(n=41_554, e=1_362_229, f=4814, c=2, model="acmgcn",
                    rocauc=False, structure_info=False, baseline_ms=87.0,
-                   max_deg=4_500),
+                   max_deg=4_500, gemm="bfloat16"),
     "arxiv_year": dict(n=169_343, e=1_166_243, f=128, c=5, model="acmgcn",
                        rocauc=False, structure_info=False, baseline_ms=73.0,
                        max_deg=13_000),
@@ -407,7 +414,7 @@ LINKX_SCALE = {
     # with the 4-channel structure variant — strictly more work.
     "penn94_pp": dict(n=41_554, e=1_362_229, f=4814, c=2, model="acmgcnpp",
                       rocauc=False, structure_info=True, baseline_ms=133.0,
-                      max_deg=4_500),
+                      max_deg=4_500, gemm="bfloat16"),
 }
 
 
@@ -492,7 +499,9 @@ def bench_epoch_linkx_scale(name, epochs=30, reorder="none",
         reorder=reorder,
         ell_hub_threshold=hub_threshold,
         spmm_dtype=os.environ.get("ACMGNN_BENCH_DTYPE", "bfloat16"),
-        gemm_dtype=os.environ.get("ACMGNN_BENCH_GEMM", "float32"),
+        gemm_dtype=os.environ.get(
+            "ACMGNN_BENCH_GEMM", spec.get("gemm", "float32")
+        ),
         joint=(os.environ.get("ACMGNN_BENCH_JOINT", "1") == "1"
                and spec["model"] != "acmsgc"),
         hoist_first=os.environ.get("ACMGNN_BENCH_HOIST", "1") == "1",
