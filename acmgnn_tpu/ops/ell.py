@@ -54,7 +54,11 @@ class EllBucket(struct.PyTreeNode):
     """
 
     cols: jnp.ndarray   # [nchunks, kc, n_rows] int32, padded with 0
-    vals: jnp.ndarray   # [nchunks, kc, n_rows(, block)] gather-dtype, 0-padded
+    # [nchunks, kc, n_rows(, block)] gather-dtype, 0-padded; None for a
+    # VALUE-FREE bucket (uniform-row operator: the per-row scalar is
+    # applied once after the inverse permutation, pad slots index the
+    # appended zero row — see EllHalf.row_scale)
+    vals: jnp.ndarray | None
     # static slot-chunk size for the scan
     kc: int = struct.field(pytree_node=False)
     # static column-block size (1 = plain ELL)
@@ -78,6 +82,23 @@ class EllHalf(struct.PyTreeNode):
     inv_perm: jnp.ndarray  # [N] int32: output row i <- concat_result[inv_perm[i]]
     num_zero_rows: int = struct.field(pytree_node=False)
     hub_mat: jnp.ndarray | None = None   # [n_hub, N] gather-dtype dense rows
+    # VALUE-FREE half: the slot-sum is a pure gather+add (no per-edge
+    # multiply, no value-plane HBM traffic — planes halve) over an
+    # operand padded with one zero row (pad slots index N).  Two modes:
+    #
+    # - ``row_scale`` ([N] f32, output-row order; 1.0 on hub/zero rows —
+    #   the hub block carries real values): ROW-uniform operators (e.g.
+    #   A_hat = D^-1(A+I): every nonzero in row r is exactly 1/deg_r)
+    #   apply the per-row scalar ONCE after the inverse permutation.
+    # - ``pre_scale`` ([N] f32): COLUMN-uniform operators (A_hat's
+    #   transpose: every nonzero in column c is 1/deg_c) scale the
+    #   OPERAND instead — ``A_hat^T g = B^T (s ⊙ g)`` over the binary
+    #   structure B; hub rows are stored binarized in this mode.
+    #
+    # Same math as the valued planes; float association differs (and is
+    # tighter: bf16 products are no longer rounded per edge).
+    row_scale: jnp.ndarray | None = None
+    pre_scale: jnp.ndarray | None = None
     # nnz resident in the dense hub block: these entries ride the MXU as
     # sequential reads, NOT the gather descriptor path — roofline models
     # must exclude them from per-descriptor fetch counts (a hub-hybrid
@@ -155,6 +176,22 @@ def block_occupancy(csr: sp.csr_matrix, block: int) -> float:
     return csr.nnz / int(new.sum())
 
 
+def _row_uniform_values(csr: sp.csr_matrix):
+    """Per-row value vector [n] if every nonzero within each row has the
+    SAME value (exact float equality), else None.  True for the
+    row-normalized ``A_hat = D^-1(A+I)`` (each row is 1/deg) and the raw
+    binary adjacency (all ones); false for its transpose and for
+    symmetric normalization."""
+    deg = np.diff(csr.indptr)
+    n = csr.shape[0]
+    firsts = np.zeros(n, csr.data.dtype)
+    nz = deg > 0
+    firsts[nz] = csr.data[csr.indptr[:-1][nz]]
+    if np.array_equal(csr.data, np.repeat(firsts, deg)):
+        return firsts
+    return None
+
+
 def _build_half(
     csr: sp.csr_matrix, kc: int, min_bucket_rows: int,
     bucket_ratio: float = 0.75,
@@ -164,9 +201,12 @@ def _build_half(
     block: int = 1,
     hub_dtype=jnp.float32,
     plane_dtype=jnp.float32,
+    uniform_scale: np.ndarray | None = None,
+    scale_mode: str = "post",
 ) -> EllHalf:
     n = csr.shape[0]
     deg = np.diff(csr.indptr)
+    value_free = uniform_scale is not None and block == 1
 
     if block > 1:
         # Block-column layout: slots address column BLOCKS.  Per-nnz
@@ -209,9 +249,13 @@ def _build_half(
             # values ride bf16 under spmm_dtype=bfloat16, and an f32
             # block would be .astype()-converted into a fresh [n_hub, N]
             # temp on EVERY call (235 MB per use at wiki-2M scale)
-            hub_mat = jnp.asarray(
-                csr[hub_rows].toarray().astype(np.float32)
-            ).astype(hub_dtype)
+            hub_src = csr[hub_rows].toarray().astype(np.float32)
+            if value_free and scale_mode == "pre":
+                # pre-scaled operand mode: the hub matmul consumes the
+                # SAME scaled operand as the gathers, so hub rows hold
+                # the binary structure
+                hub_src = (hub_src != 0).astype(np.float32)
+            hub_mat = jnp.asarray(hub_src).astype(hub_dtype)
             hub_nnz = int(deg[hub_rows].sum())
 
     # Bucket boundaries: a bucket spans rows whose degree stays above
@@ -258,7 +302,11 @@ def _build_half(
             k_pad = max(k_max, 1)
         else:
             k_pad = -(-k_max // kc_b) * kc_b
-        cols = np.zeros((len(rows), k_pad), np.int32)
+        # value-free pad slots index the appended zero row (n); valued
+        # pad slots index 0 with val 0
+        cols = np.full(
+            (len(rows), k_pad), n if value_free else 0, np.int32
+        )
         # vectorized ELL packing: flatten (row, slot) targets for all nnz
         counts = deg[rows]
         total = int(counts.sum())
@@ -267,6 +315,7 @@ def _build_half(
             np.cumsum(counts) - counts, counts
         )
         src = np.repeat(csr.indptr[rows], counts) + within
+        vals = None
         if block > 1:
             vals = np.zeros((len(rows), k_pad, block), np.float32)
             if total:
@@ -274,10 +323,12 @@ def _build_half(
                 cols[row_pos, spos] = bid_e[src]
                 vals[row_pos, spos, off_e[src]] = csr.data[src]
         else:
-            vals = np.zeros((len(rows), k_pad), np.float32)
+            if not value_free:
+                vals = np.zeros((len(rows), k_pad), np.float32)
             if total:
                 cols[row_pos, within] = csr.indices[src]
-                vals[row_pos, within] = csr.data[src]
+                if not value_free:
+                    vals[row_pos, within] = csr.data[src]
         # pre-chunk into the rows-minor scan layout once at build time
         # (the device used to re-transpose these planes on every SpMM
         # call, and the old rows-major layout padded kc to the 128-lane
@@ -285,14 +336,17 @@ def _build_half(
         nchunks = k_pad // kc_b if k_pad > kc_b else 1
         kc_eff = k_pad // nchunks
         cols = cols.reshape(len(rows), nchunks, kc_eff).transpose(1, 2, 0)
-        vals = vals.reshape(
-            (len(rows), nchunks, kc_eff) + vals.shape[2:]
-        ).transpose((1, 2, 0) + ((3,) if block > 1 else ()))
+        if vals is not None:
+            vals = vals.reshape(
+                (len(rows), nchunks, kc_eff) + vals.shape[2:]
+            ).transpose((1, 2, 0) + ((3,) if block > 1 else ()))
         buckets.append(
             EllBucket(
                 cols=jnp.asarray(np.ascontiguousarray(cols)),
-                vals=jnp.asarray(
-                    np.ascontiguousarray(vals), dtype=plane_dtype
+                vals=(
+                    None if vals is None else jnp.asarray(
+                        np.ascontiguousarray(vals), dtype=plane_dtype
+                    )
                 ),
                 kc=kc_eff,
                 block=block,
@@ -303,12 +357,26 @@ def _build_half(
     # concat order = [hub rows,] sorted rows (nonzero-degree), zero rows
     inv = np.empty(n, np.int64)
     inv[order] = np.arange(n)
+    row_scale = None
+    pre_scale = None
+    if value_free and scale_mode == "post":
+        # output-row order; hub rows keep 1.0 (hub_mat carries real
+        # values), zero rows are 0 either way
+        row_scale = np.asarray(uniform_scale, np.float32).copy()
+        if n_hub > 0:
+            row_scale[order[:n_hub]] = 1.0
+        row_scale = jnp.asarray(row_scale)
+    elif value_free:
+        # operand-row order: scale[c] multiplies x[c] before the gather
+        pre_scale = jnp.asarray(np.asarray(uniform_scale, np.float32))
     return EllHalf(
         buckets=tuple(buckets),
         inv_perm=jnp.asarray(inv.astype(np.int32)),
         num_zero_rows=n - nz_rows,
         hub_mat=hub_mat,
         hub_nnz=hub_nnz,
+        row_scale=row_scale,
+        pre_scale=pre_scale,
     )
 
 
@@ -363,14 +431,38 @@ def make_ell_op(
         occ = block_occupancy(csr, cand)
         block = cand if occ >= block_min_occupancy else 1
     block = max(block, 1)
-    build = lambda m: _build_half(  # noqa: E731
-        m, kc, min_bucket_rows, bucket_ratio,
-        hub_threshold=hub_threshold, chunk_fetches=chunk_fetches,
-        block=block, hub_dtype=gather_dtype, plane_dtype=gather_dtype,
-    )
+    # Value-free halves (ACMGNN_ELL_UNIFORM=0 disables): operators with
+    # per-ROW-uniform values (row-normalized A_hat: 1/deg rows; binary
+    # adjacency: all ones) drop their value planes — the slot-sum
+    # becomes pure gather+add with ONE per-row scale after the inverse
+    # permutation.  The transpose of a row-uniform matrix is per-COLUMN
+    # uniform, so ITS half goes value-free too, scaling the operand
+    # before the gather instead (A_hat^T g = B^T (s ⊙ g); see
+    # EllHalf.row_scale/pre_scale).  Matrices that are neither (sym
+    # normalization, weighted graphs) keep valued planes bit-exactly as
+    # before.
+    uniform_on = os.environ.get("ACMGNN_ELL_UNIFORM", "1") == "1"
+    scale_fwd = _row_uniform_values(csr) if uniform_on else None
+    csr_t = csr.T.tocsr()
+    scale_bwd = _row_uniform_values(csr_t) if uniform_on else None
+
+    def build(m, uniform_scale=None, scale_mode="post"):
+        return _build_half(
+            m, kc, min_bucket_rows, bucket_ratio,
+            hub_threshold=hub_threshold, chunk_fetches=chunk_fetches,
+            block=block, hub_dtype=gather_dtype, plane_dtype=gather_dtype,
+            uniform_scale=uniform_scale, scale_mode=scale_mode,
+        )
+
+    if scale_bwd is not None:
+        bwd = build(csr_t, scale_bwd, "post")
+    elif scale_fwd is not None:
+        bwd = build(csr_t, scale_fwd, "pre")
+    else:
+        bwd = build(csr_t)
     return EllOp(
-        fwd=build(csr),
-        bwd=build(csr.T.tocsr()),
+        fwd=build(csr, scale_fwd, "post"),
+        bwd=bwd,
         num_nodes=csr.shape[0],
         nnz=int(csr.nnz),
         gather_dtype=gather_dtype,
@@ -400,7 +492,11 @@ def _bucket_spmm(
     d = unpack_dim if unpack_dim is not None else x.shape[1]
     cols = bucket.cols
     vals = bucket.vals
-    vals = vals.astype(jnp.bfloat16 if unpack_dim is not None else x.dtype)
+    value_free = vals is None
+    if not value_free:
+        vals = vals.astype(
+            jnp.bfloat16 if unpack_dim is not None else x.dtype
+        )
     blk = bucket.block
 
     import os
@@ -438,7 +534,7 @@ def _bucket_spmm(
             g = jax.lax.bitcast_convert_type(g, jnp.bfloat16).reshape(
                 -1, n_rows, d
             )
-            return _slot_reduce(g * v[..., None])
+            return _slot_reduce(g if v is None else g * v[..., None])
     elif blk > 1:
         n_pad = -(-x.shape[0] // blk) * blk
         xb = jnp.pad(x, ((0, n_pad - x.shape[0]), (0, 0))).reshape(
@@ -453,10 +549,20 @@ def _bucket_spmm(
     else:
 
         def chunk_sum(c, v):
-            return _slot_reduce(jnp.take(x, c, axis=0) * v[..., None])
+            g = jnp.take(x, c, axis=0)
+            return _slot_reduce(g if v is None else g * v[..., None])
 
     if nchunks == 1:
-        return chunk_sum(cols[0], vals[0])
+        return chunk_sum(cols[0], None if value_free else vals[0])
+
+    if value_free:
+        def body(acc, c):
+            return acc + chunk_sum(c, None), None
+
+        out, _ = jax.lax.scan(
+            body, chunk_sum(cols[0], None), cols[1:]
+        )
+        return out
 
     def body(acc, cv):
         c, v = cv
@@ -473,6 +579,14 @@ def _bucket_spmm(
 
 
 def _half_spmm(half: EllHalf, x: jnp.ndarray, pack: bool = False) -> jnp.ndarray:
+    if half.pre_scale is not None:
+        # column-uniform half: scale the operand once (f32 multiply, one
+        # rounding back to the gather dtype — same rounding count as the
+        # per-edge valued multiply it replaces); the hub block is stored
+        # binarized and consumes the same scaled operand
+        x = (x.astype(jnp.float32) * half.pre_scale[:, None]).astype(
+            x.dtype
+        )
     parts = []
     if half.hub_mat is not None:
         # Hub rows: one sequential MXU matmul replaces their descriptors.
@@ -502,6 +616,13 @@ def _half_spmm(half: EllHalf, x: jnp.ndarray, pack: bool = False) -> jnp.ndarray
         )
     else:
         x_buckets = x
+    if half.row_scale is not None or half.pre_scale is not None:
+        # value-free buckets: pad slots index this appended zero row
+        x_buckets = jnp.concatenate(
+            [x_buckets,
+             jnp.zeros((1, x_buckets.shape[1]), x_buckets.dtype)],
+            axis=0,
+        )
     parts += [_bucket_spmm(b, x_buckets, unpack_dim) for b in half.buckets]
     if half.num_zero_rows:
         parts.append(
@@ -511,7 +632,10 @@ def _half_spmm(half: EllHalf, x: jnp.ndarray, pack: bool = False) -> jnp.ndarray
         concat = jnp.concatenate(parts, axis=0)
     else:
         concat = jnp.zeros(x.shape, jnp.float32)
-    return jnp.take(concat, half.inv_perm, axis=0)
+    out = jnp.take(concat, half.inv_perm, axis=0)
+    if half.row_scale is not None:
+        out = out * half.row_scale[:, None]
+    return out
 
 
 @jax.custom_vjp

@@ -37,7 +37,7 @@ def _twitch_gamers_scale_graph(seed=0):
     e = 6_797_557
     src = rng.integers(0, n, size=e, dtype=np.int64)
     dst = rng.integers(0, n, size=e, dtype=np.int64)
-    adj = build_sym_adjacency(src, dst, n)
+    adj = build_sym_adjacency(src, dst, n, drop_self_loops=True)
     features = rng.normal(size=(n, 7)).astype(np.float32)
     labels = (rng.random(n) < 0.5).astype(np.int32)
     return adj, features, labels
@@ -57,7 +57,7 @@ def _powerlaw_scale_graph(seed=0, alpha=0.6):
     p = w / w.sum()
     src = rng.choice(n, size=e, p=p).astype(np.int64)
     dst = rng.choice(n, size=e, p=p).astype(np.int64)
-    adj = build_sym_adjacency(src, dst, n)
+    adj = build_sym_adjacency(src, dst, n, drop_self_loops=True)
     features = rng.normal(size=(n, 7)).astype(np.float32)
     labels = (rng.random(n) < 0.5).astype(np.int32)
     return adj, features, labels
@@ -77,7 +77,7 @@ def _banded_scale_graph(seed=0, halfwidth=64):
     src = rng.integers(0, n, size=e, dtype=np.int64)
     off = rng.integers(-halfwidth, halfwidth + 1, size=e)
     dst = np.clip(src + off, 0, n - 1).astype(np.int64)
-    adj = build_sym_adjacency(src, dst, n)
+    adj = build_sym_adjacency(src, dst, n, drop_self_loops=True)
     features = rng.normal(size=(n, 7)).astype(np.float32)
     labels = (rng.random(n) < 0.5).astype(np.int32)
     return adj, features, labels
@@ -475,7 +475,7 @@ def bench_epoch_linkx_scale(name, epochs=30, reorder="none",
     rng = np.random.default_rng(0)
     n, e = spec["n"], spec["e"]
     src, dst = _chung_lu_edges(n, e, spec.get("max_deg", 0), seed=0)
-    adj = build_sym_adjacency(src, dst, n)
+    adj = build_sym_adjacency(src, dst, n, drop_self_loops=True)
     features = rng.normal(size=(n, spec["f"])).astype(np.float32)
     labels = rng.integers(0, spec["c"], size=n).astype(np.int32)
     data = GraphData(name=f"{name}-scale", adj=adj, features=features,
@@ -587,7 +587,8 @@ def _wiki_scale_graph(seed=0, e=6_500_000, f=600):
     import os
     import scipy.sparse as sp
 
-    cache = f"/tmp/acmgnn_wiki_adj_{seed}_{e}.npz"
+    # "nosl" = self-loop-free build (value-free uniform operator)
+    cache = f"/tmp/acmgnn_wiki_adj_nosl_{seed}_{e}.npz"
     if os.path.exists(cache):
         z = np.load(cache)
         adj = sp.csr_matrix(
@@ -595,7 +596,7 @@ def _wiki_scale_graph(seed=0, e=6_500_000, f=600):
         )
     else:
         src, dst = _chung_lu_edges(n, e, 30_000, seed=seed)
-        adj = build_sym_adjacency(src, dst, n)
+        adj = build_sym_adjacency(src, dst, n, drop_self_loops=True)
         try:
             np.savez(cache, data=adj.data, indices=adj.indices,
                      indptr=adj.indptr)
@@ -773,7 +774,7 @@ def bench_wiki_sharded(epochs=3, n_scale=1.0):
 
     rng = np.random.default_rng(0)
     src, dst = _chung_lu_edges(n, e, int(30_000 * n_scale) or 100, seed=0)
-    adj = build_sym_adjacency(src, dst, n)
+    adj = build_sym_adjacency(src, dst, n, drop_self_loops=True)
     features = rng.normal(size=(n, f)).astype(np.float32)
     labels = rng.integers(0, 5, size=n).astype(np.int32)
 

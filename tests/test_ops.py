@@ -432,3 +432,53 @@ def test_ell_packed_wide_bf16_gather_matches_unpacked():
     yw1, _ = run(op1, xw)
     yw0, _ = run(op0, xw)
     np.testing.assert_allclose(yw1, yw0, rtol=0, atol=0)
+
+
+def test_ell_value_free_uniform_rows():
+    """Row-uniform operators drop their value planes: the forward half
+    post-scales rows, the transpose half pre-scales the operand over the
+    binary structure (hub rows binarized); self-loop graphs (diagonal 2
+    after A+I) fall back to valued planes bit-exactly."""
+    import scipy.sparse as sp
+
+    from acmgnn_tpu.ops.ell import ell_spmm, make_ell_op
+    from acmgnn_tpu.ops.graph import row_normalized_adjacency
+
+    rng = np.random.default_rng(0)
+    n = 800
+    a = sp.random(n, n, density=0.01, random_state=1, format="csr")
+    a.data[:] = 1.0
+    a = ((a + a.T) > 0).astype(np.float64).tolil()
+    a.setdiag(0)
+    a = a.tocsr()
+    a.eliminate_zeros()
+    ah = row_normalized_adjacency(a)
+    x = jnp.asarray(rng.normal(size=(n, 9)).astype(np.float32))
+
+    op = make_ell_op(ah, kc=4, min_bucket_rows=16, hub_threshold=20)
+    assert op.fwd.row_scale is not None and op.fwd.pre_scale is None
+    assert op.bwd.pre_scale is not None and op.bwd.row_scale is None
+    assert all(b.vals is None for b in op.fwd.buckets + op.bwd.buckets)
+
+    dense = jnp.asarray(np.asarray(ah.todense(), np.float32))
+    np.testing.assert_allclose(
+        np.asarray(ell_spmm(op, x)), np.asarray(dense @ x),
+        rtol=1e-4, atol=1e-5,
+    )
+    g = jax.grad(lambda x_: jnp.sum(jnp.sin(ell_spmm(op, x_))))(x)
+    g_ref = jax.grad(lambda x_: jnp.sum(jnp.sin(dense @ x_)))(x)
+    np.testing.assert_allclose(
+        np.asarray(g), np.asarray(g_ref), rtol=1e-4, atol=1e-5
+    )
+
+    # a single self-loop makes one row non-uniform -> valued fallback
+    a2 = a.tolil()
+    a2[5, 5] = 1.0
+    ah2 = row_normalized_adjacency(a2.tocsr())
+    op2 = make_ell_op(ah2)
+    assert op2.fwd.row_scale is None and op2.bwd.pre_scale is None
+    np.testing.assert_allclose(
+        np.asarray(ell_spmm(op2, x)),
+        np.asarray(ah2.todense(), np.float32) @ np.asarray(x),
+        rtol=1e-4, atol=1e-5,
+    )
