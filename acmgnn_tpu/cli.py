@@ -120,7 +120,7 @@ def _add_train_args(p: argparse.ArgumentParser):
                         "slab loading (each process materializes only "
                         "the row slabs its devices own — the multi-host "
                         "path; auto-on under a multi-process runtime)")
-    p.add_argument("--partition", choices=["contiguous", "fennel"],
+    p.add_argument("--partition", choices=["contiguous", "fennel", "balanced"],
                    default="contiguous",
                    help="multi-chip row partition: nnz-balanced "
                         "contiguous blocks, or streaming Fennel min-cut "

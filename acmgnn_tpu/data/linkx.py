@@ -123,14 +123,28 @@ def parse_pokec_raw(profiles_path, relationships_path):
     relationship pairs become a directed edge list.
 
     Vectorized instead of the reference's per-line Python loops (the
-    relationships file has ~30M rows)."""
+    relationships file has ~30M rows): the edge list rides pandas'
+    C csv reader when available (np.loadtxt parses line-by-line in
+    Python — ADVICE r4), falling back to a whole-file split + one
+    np.array conversion."""
     labels = []
     with open(profiles_path, encoding="utf-8", errors="replace") as f:
         for line in f:
             g = line.split("\t", 4)[3]
             labels.append(int(g) if g != "null" else -1)
     labels = np.asarray(labels, dtype=np.int32)
-    pairs = np.loadtxt(relationships_path, dtype=np.int64, ndmin=2)
+    try:
+        import pandas as pd
+
+        pairs = pd.read_csv(
+            relationships_path, sep="\t", header=None, dtype=np.int64,
+            engine="c",
+        ).to_numpy()
+    except ImportError:
+        with open(relationships_path, "rb") as f:
+            toks = f.read().split()
+        pairs = np.array(toks, dtype=np.int64).reshape(-1, 2)
+    pairs = pairs.reshape(-1, 2)
     edge_index = pairs.T - 1  # SNAP ids are 1-based
     return edge_index, labels
 

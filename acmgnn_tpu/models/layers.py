@@ -428,28 +428,36 @@ class MLPBlock(nn.Module):
     num_layers: int = 1
     dropout: float = 0.0
     # see ACMConv.gemm_dtype — the acmgcnpp skip-MLP's first Linear is an
-    # F-wide projection in the same GEMM-bound regime; outputs are cast
-    # back to float32 so downstream math is unchanged in dtype
+    # F-wide projection in the same GEMM-bound regime.  Params, bias add
+    # and outputs stay float32; only the matmul OPERANDS are bf16, with
+    # an f32 accumulator — exactly ``_make_mm``'s contract (ADVICE r4:
+    # the earlier nn.Dense(dtype=bf16) form rounded the matmul output
+    # and bias add to bf16, one extra rounding per layer).
     gemm_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, training: bool = False) -> jnp.ndarray:
         gdt = _resolve_gemm_dtype(self.gemm_dtype)
 
+        def bf16_dot_general(a, b, dimension_numbers, precision=None,
+                             preferred_element_type=None):
+            return jax.lax.dot_general(
+                a.astype(gdt), b.astype(gdt), dimension_numbers,
+                precision=precision,
+                preferred_element_type=jnp.float32,
+            )
+
         def dense(features, name):
             # torch nn.Linear default init: U(-1/sqrt(fan_in), 1/sqrt(fan_in))
             fan_in = x_cur.shape[-1]
             bound = 1.0 / float(fan_in) ** 0.5
-            mod = nn.Dense(
+            return nn.Dense(
                 features,
                 kernel_init=_uniform(bound),
                 bias_init=_uniform(bound),
-                dtype=gdt,  # None => f32 exact
+                dot_general=None if gdt is None else bf16_dot_general,
                 name=name,
             )
-            if gdt is None:
-                return mod
-            return lambda h: mod(h).astype(jnp.float32)
 
         x_cur = x
         if self.num_layers == 1:

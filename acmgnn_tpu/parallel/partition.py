@@ -106,6 +106,117 @@ def fennel_partition(
     return part
 
 
+def degree_balanced_partition(adj: sp.spmatrix, n_parts: int) -> np.ndarray:
+    """Serpentine-by-degree assignment: rows sorted by degree descending
+    are dealt across parts in boustrophedon order (0..P-1, P-1..0, ...).
+
+    Exists for heavy-tailed graphs under SPMD-uniform plane padding
+    (VERDICT r4 weak #3): the sharded ELL format pads every partition's
+    hub count and per-class row counts to the CROSS-PARTITION MAX
+    (``build_sharded_ell``), so a partition scheme that concentrates
+    hubs in one part (contiguous blocks on a degree-ordered graph — the
+    Chung-Lu stand-ins' natural id order IS descending expected degree)
+    makes every device pay the hub-richest partition's dense-block MXU
+    work and class padding.  Serpentine dealing balances hub counts,
+    per-class row counts AND total nnz simultaneously (each consecutive
+    run of 2P degree-ranked rows contributes once to every part from
+    both directions), at the cost of locality — which structure-free
+    power-law graphs don't have anyway (PERF.md Fennel table: halo
+    volume ties on such graphs).  Returns ``part[N]`` int32.
+    """
+    csr = sp.csr_matrix(adj)
+    n = csr.shape[0]
+    if n_parts <= 1:
+        return np.zeros(n, np.int32)
+    deg = np.diff(csr.indptr)
+    order = np.argsort(-deg, kind="stable")
+    part = np.empty(n, np.int32)
+    ranks = np.arange(n)
+    fwd = (ranks // n_parts) % 2 == 0
+    part[order] = np.where(
+        fwd, ranks % n_parts, n_parts - 1 - (ranks % n_parts)
+    ).astype(np.int32)
+    return part
+
+
+def sharded_ell_work_accounting(
+    adj_op: sp.spmatrix,
+    n_parts: int,
+    boundaries: np.ndarray | None = None,
+    hub_threshold: int = 0,
+) -> dict:
+    """Per-device work table for a sharded-ELL partition — the data the
+    scaling bench needs to adjudicate 'emulation artifact vs genuine
+    SPMD imbalance' (VERDICT r4 item #3).
+
+    Mirrors ``build_sharded_ell``'s class/hub construction arithmetic
+    without building planes.  Returns per-partition arrays plus the
+    SPMD-uniform padded costs every device pays regardless of its real
+    share:
+
+    - ``nnz``: [P] real nnz per partition
+    - ``hub_rows``: [P] real rows at/above ``hub_threshold``
+    - ``hub_rows_padded``: the cross-partition max every device's dense
+      hub block is padded to (0 if hubs disabled/absent)
+    - ``class_rows``: [P, ncls] real per-class row counts
+    - ``padded_fetches``: slot fetches per device per SpMM
+      (sum_c max_p class_rows[p, c] * 2^c) — identical on every device
+    - ``pad_expansion``: [P] padded_fetches / max(real plane nnz, 1)
+    - ``hub_mxu_macs``: per-device hub matmul MACs per operand column
+      (hub_rows_padded * width) — paid by EVERY device
+    """
+    csr = sp.csr_matrix(adj_op)
+    n = csr.shape[0]
+    if boundaries is None:
+        boundaries = partition_rows(csr, n_parts)
+    deg = np.diff(csr.indptr)
+    parts_deg = [
+        deg[int(boundaries[i]): int(boundaries[i + 1])]
+        for i in range(n_parts)
+    ]
+    nnz_p = np.array([int(d.sum()) for d in parts_deg])
+    hub_p = np.zeros(n_parts, np.int64)
+    if hub_threshold > 0:
+        hub_p = np.array(
+            [int((d >= hub_threshold).sum()) for d in parts_deg]
+        )
+    n_hub = int(hub_p.max()) if hub_threshold > 0 else 0
+    # class arithmetic as in build_sharded_ell: hub rows excluded, class
+    # c packs local degrees in (2^(c-1), 2^c]
+    cls_counts = []
+    plane_nnz_p = np.zeros(n_parts, np.int64)
+    for p, d in enumerate(parts_deg):
+        d = d.copy()
+        if hub_threshold > 0 and hub_p[p]:
+            hub_rows = np.argsort(-d, kind="stable")[: int(hub_p[p])]
+            d[hub_rows] = 0
+        plane_nnz_p[p] = int(d.sum())
+        nz = d > 0
+        c = np.zeros(d.shape, np.int64)
+        c[nz] = np.ceil(np.log2(d[nz])).astype(np.int64)
+        cls_counts.append(np.bincount(c[nz]))
+    ncls = max((len(c) for c in cls_counts), default=1)
+    class_rows = np.zeros((n_parts, ncls), np.int64)
+    for p, c in enumerate(cls_counts):
+        class_rows[p, : len(c)] = c
+    padded_rows_c = class_rows.max(axis=0)
+    padded_fetches = int(
+        (padded_rows_c * (1 << np.arange(ncls))).sum()
+    )
+    rpp = int(np.max(np.diff(boundaries)))
+    return {
+        "nnz": nnz_p,
+        "hub_rows": hub_p,
+        "hub_rows_padded": n_hub,
+        "class_rows": class_rows,
+        "class_rows_padded": padded_rows_c,
+        "padded_fetches": padded_fetches,
+        "pad_expansion": padded_fetches / np.maximum(plane_nnz_p, 1),
+        "hub_mxu_macs": n_hub * n_parts * rpp,
+        "rows_per_part": rpp,
+    }
+
+
 def partition_to_perm(part: np.ndarray, n_parts: int):
     """Node permutation making each part's rows contiguous, plus the
     resulting row ``boundaries`` — the glue between an arbitrary
@@ -304,6 +415,8 @@ def build_sharded_ell(
     hub_threshold: int = 0,
     hub_budget_bytes: int = 512 * 1024 * 1024,
     plane_dtype=np.float32,
+    uniform_scale: np.ndarray | None = None,
+    scale_mode: str = "post",
 ) -> dict:
     """Per-partition bucketed-ELL planes with SHARED shapes.
 
@@ -327,16 +440,38 @@ def build_sharded_ell(
     local degree == global degree and the hub economics match
     single-chip exactly.
 
+    ``uniform_scale`` (global [N] f32) switches the half VALUE-FREE —
+    the sharded port of ops/ell.py's EllHalf.row_scale/pre_scale
+    contract (VERDICT r4 item #1; the per-edge multiply and the value
+    planes' HBM + exchange traffic disappear).  Because the operator is
+    ROW-partitioned, every local row is the complete global row, so
+    global row/column uniformity carries over to each partition's block
+    verbatim:
+
+    - ``scale_mode="post"`` (row-uniform operators, e.g. A_hat =
+      D^-1(A+I)): pad slots index one appended zero row of the operand
+      concat (index ``n_cols``/width); the per-row scalar is applied
+      ONCE after the inverse permutation.  Hub rows keep real values
+      (scale 1.0 in the returned slab).
+    - ``scale_mode="pre"`` (column-uniform operators — the transpose of
+      a row-uniform one): the OPERAND is scaled before the exchange
+      (``A_hat^T g = B^T (s ⊙ g)``); hub rows are stored binarized.
+
     Input: the dict from ``build_sharded_coo`` (optionally with halo
     ``col_h`` columns — pass ``col_key="col_h"`` and the concat-space
     width as ``n_cols``).  Returns::
 
       classes:   list of (cols, vals, kc_c) with cols/vals shaped
-                 [P, nchunks_c, n_rows_c, kc_c] (scan layout, pre-chunked
-                 like ops/ell.py so the device never re-lays planes)
-      hub_mat:   [P, n_hub, width] float32 dense hub rows, or None
+                 [P, nchunks_c, kc_c, n_rows_c] (rows-MINOR scan layout,
+                 pre-chunked like ops/ell.py so the device never re-lays
+                 planes); ``vals`` is None for a value-free half
+      hub_mat:   [P, n_hub, width] dense hub rows (plane dtype), or None
       inv_perm:  [P, rows_per_part] int32 into the per-device concat
                  [hub rows | class_0 rows | ... | one zero row]
+      row_scale: [P, rows_per_part] f32 per-output-row scale slab
+                 (post mode), else None
+      pre_scale: [P, rows_per_part] f32 per-operand-row scale slab
+                 (pre mode), else None
     """
     from acmgnn_tpu.ops.ell import resolve_chunk_fetches, resolve_kc
 
@@ -348,6 +483,9 @@ def build_sharded_ell(
     val = blocks[val_key]
     n_parts = row_l.shape[0]
     width = n_cols if n_cols is not None else n_parts * rpp
+    value_free = uniform_scale is not None
+    if value_free and scale_mode not in ("post", "pre"):
+        raise ValueError(f"unknown scale_mode: {scale_mode!r}")
 
     # per-partition local CSR blocks
     csrs = []
@@ -376,7 +514,13 @@ def build_sharded_ell(
                 hr = hr[np.argsort(-degs[p][hr], kind="stable")][:n_hub]
                 hub_rows_sel[p] = hr
                 if hr.size:
-                    hub_mat[p, : hr.size] = csrs[p][hr].toarray()
+                    hub_src = csrs[p][hr].toarray()
+                    if value_free and scale_mode == "pre":
+                        # the hub matmul consumes the SAME pre-scaled
+                        # operand as the gathers, so hub rows hold the
+                        # binary structure (ops/ell.py _build_half)
+                        hub_src = (hub_src != 0).astype(np.float32)
+                    hub_mat[p, : hr.size] = hub_src
 
     # degree class per row: width 2^c covers (2^(c-1), 2^c]; hub rows are
     # marked -1 (handled by the dense block, excluded from every plane)
@@ -414,8 +558,17 @@ def build_sharded_ell(
             kc_b *= 2
         kc_b = min(kc_b, k_c)
         nchunks = k_c // kc_b
-        cols_pl = np.zeros((n_parts, int(n_rows_c[c]), k_c), np.int32)
-        vals_pl = np.zeros((n_parts, int(n_rows_c[c]), k_c), np.float32)
+        # value-free pad slots index the appended zero row of the
+        # operand concat (index == width); valued pad slots index 0
+        # with val 0 (ops/ell.py _build_half)
+        cols_pl = np.full(
+            (n_parts, int(n_rows_c[c]), k_c),
+            width if value_free else 0, np.int32,
+        )
+        vals_pl = (
+            None if value_free
+            else np.zeros((n_parts, int(n_rows_c[c]), k_c), np.float32)
+        )
         plane_meta.append((cols_pl, vals_pl, kc_b, nchunks, k_c))
         offsets.append(off)
         off += int(n_rows_c[c])
@@ -451,7 +604,8 @@ def build_sharded_ell(
                 cols_pl, vals_pl = plane_meta[c][0], plane_meta[c][1]
                 sel = c_of == c
                 cols_pl[p, r_of[sel], within[sel]] = m.indices[sel]
-                vals_pl[p, r_of[sel], within[sel]] = m.data[sel]
+                if vals_pl is not None:
+                    vals_pl[p, r_of[sel], within[sel]] = m.data[sel]
 
     for c in range(ncls):
         if plane_meta[c] is None:
@@ -464,16 +618,27 @@ def build_sharded_ell(
         cols_pl = cols_pl.reshape(n_parts, nr, nchunks, kc_b).transpose(
             0, 2, 3, 1
         )
-        vals_pl = vals_pl.reshape(n_parts, nr, nchunks, kc_b).transpose(
-            0, 2, 3, 1
-        )
+        if vals_pl is not None:
+            vals_pl = vals_pl.reshape(
+                n_parts, nr, nchunks, kc_b
+            ).transpose(0, 2, 3, 1)
+            vals_pl = np.ascontiguousarray(vals_pl).astype(plane_dtype)
         classes.append(
-            (
-                np.ascontiguousarray(cols_pl),
-                np.ascontiguousarray(vals_pl).astype(plane_dtype),
-                kc_b,
-            )
+            (np.ascontiguousarray(cols_pl), vals_pl, kc_b)
         )
+    row_scale = pre_scale = None
+    if value_free:
+        slab = pad_node_array(
+            np.asarray(uniform_scale, np.float32),
+            blocks["boundaries"], rpp,
+        ).reshape(n_parts, rpp).copy()
+        if scale_mode == "post":
+            # hub rows keep 1.0 — the hub block carries real values
+            for p in range(n_parts):
+                slab[p, hub_rows_sel[p]] = 1.0
+            row_scale = slab
+        else:
+            pre_scale = slab
     return {
         "classes": classes,
         # stored in the gather dtype like the class-plane values — an
@@ -484,6 +649,8 @@ def build_sharded_ell(
         ),
         "inv_perm": inv_perm,
         "concat_rows": zero_idx + 1,
+        "row_scale": row_scale,
+        "pre_scale": pre_scale,
     }
 
 

@@ -250,6 +250,19 @@ class ShardedEllOp(struct.PyTreeNode):
     # [P, n_hub, width] rows consumed by one MXU matmul per device
     hub_mat: jnp.ndarray = None
     hub_mat_t: jnp.ndarray = None
+    # VALUE-FREE halves (the sharded port of ops/ell.py
+    # EllHalf.row_scale/pre_scale — VERDICT r4 item #1): when a half is
+    # value-free its ``cls_vals``/``cls_vals_t`` entries are None (the
+    # slot-sum is pure gather+add; no per-edge multiply, half the plane
+    # HBM bytes) and exactly one of these [P, rows_per_part] slabs is
+    # set: ``row_scale`` applies per OUTPUT row after the inverse
+    # permutation (row-uniform operators; hub rows carry 1.0),
+    # ``pre_scale`` scales the OPERAND slab before the exchange
+    # (column-uniform operators = the transpose; hub rows binarized).
+    row_scale: jnp.ndarray = None
+    pre_scale: jnp.ndarray = None
+    row_scale_t: jnp.ndarray = None
+    pre_scale_t: jnp.ndarray = None
 
     @property
     def padded_nodes(self) -> int:
@@ -277,11 +290,41 @@ def make_sharded_ell_op(
     """
     import os
 
+    import scipy.sparse as sp
+
+    from acmgnn_tpu.ops.ell import _row_uniform_values
     from acmgnn_tpu.parallel.partition import build_sharded_ell
 
     if hub_threshold is None:
         hub_threshold = int(os.environ.get("ACMGNN_ELL_HUB", "2048"))
     hub_threshold = max(hub_threshold, 0)
+
+    # Value-free half detection — identical policy to the single-chip
+    # make_ell_op (ops/ell.py; ACMGNN_ELL_UNIFORM=0 opts out): operators
+    # with per-ROW-uniform values (row-normalized A_hat, binary
+    # adjacency) drop their value planes; the transpose of a row-uniform
+    # matrix is per-COLUMN uniform, so its half scales the operand
+    # before the exchange instead.  Row partitioning preserves complete
+    # rows, so global uniformity == per-partition uniformity.
+    uniform_on = os.environ.get("ACMGNN_ELL_UNIFORM", "1") == "1"
+    scale_fwd = scale_bwd = None
+    if uniform_on:
+        csr = sp.csr_matrix(adj_op)
+        csr.sort_indices()
+        scale_fwd = _row_uniform_values(csr)
+        csr_t = csr.T.tocsr()
+        csr_t.sort_indices()
+        scale_bwd = _row_uniform_values(csr_t)
+    if scale_bwd is not None:
+        bwd_scale = dict(uniform_scale=scale_bwd, scale_mode="post")
+    elif scale_fwd is not None:
+        bwd_scale = dict(uniform_scale=scale_fwd, scale_mode="pre")
+    else:
+        bwd_scale = {}
+    fwd_scale = (
+        dict(uniform_scale=scale_fwd, scale_mode="post")
+        if scale_fwd is not None else {}
+    )
 
     n_parts = mesh.devices.size
     blocks = build_sharded_coo(
@@ -295,22 +338,28 @@ def make_sharded_ell_op(
             blocks, col_key="col_h",
             n_cols=rpp + n_parts * int(halo["halo_pad"]),
             hub_threshold=hub_threshold, plane_dtype=gather_dtype,
+            **fwd_scale,
         )
         bwd = build_sharded_ell(
             blocks, col_key="col_h_t", row_key="row_l_t", val_key="val_t",
             n_cols=rpp + n_parts * int(halo["halo_pad_t"]),
             hub_threshold=hub_threshold, plane_dtype=gather_dtype,
+            **bwd_scale,
         )
     else:
         fwd = build_sharded_ell(
-            blocks, hub_threshold=hub_threshold, plane_dtype=gather_dtype
+            blocks, hub_threshold=hub_threshold, plane_dtype=gather_dtype,
+            **fwd_scale,
         )
         bwd = build_sharded_ell(
             blocks, col_key="col_t", row_key="row_l_t", val_key="val_t",
             hub_threshold=hub_threshold, plane_dtype=gather_dtype,
+            **bwd_scale,
         )
     shard = NamedSharding(mesh, P(GRAPH_AXIS))
-    dev = lambda a: jax.device_put(jnp.asarray(a), shard)  # noqa: E731
+    dev = lambda a: (  # noqa: E731
+        None if a is None else jax.device_put(jnp.asarray(a), shard)
+    )
     return ShardedEllOp(
         cls_cols=tuple(dev(c) for c, _, _ in fwd["classes"]),
         cls_vals=tuple(dev(v) for _, v, _ in fwd["classes"]),
@@ -329,19 +378,27 @@ def make_sharded_ell_op(
         halo_pad=int(halo["halo_pad"]) if halo else 0,
         halo_pad_t=int(halo["halo_pad_t"]) if halo else 0,
         gather_dtype=gather_dtype,
-        hub_mat=dev(fwd["hub_mat"]) if fwd["hub_mat"] is not None else None,
-        hub_mat_t=dev(bwd["hub_mat"]) if bwd["hub_mat"] is not None else None,
+        hub_mat=dev(fwd["hub_mat"]),
+        hub_mat_t=dev(bwd["hub_mat"]),
+        row_scale=dev(fwd["row_scale"]),
+        pre_scale=dev(fwd["pre_scale"]),
+        row_scale_t=dev(bwd["row_scale"]),
+        pre_scale_t=dev(bwd["pre_scale"]),
     ), blocks["boundaries"]
 
 
 def _local_ell_aggregate(cls_cols, cls_vals, cls_kc, inv_perm, x_cat,
-                         hub_mat=None):
+                         hub_mat=None, row_scale=None, value_free=False):
     """Per-device scatter-free aggregation over the class planes.
 
     ``hub_mat`` (optional [1, n_hub, width] local dense block): hub rows
     ride one MXU matmul — they lead the concat, matching ``inv_perm``'s
     [hub | classes | zero] layout (same scheme as ops/ell.py
-    ``_half_spmm``)."""
+    ``_half_spmm``).  ``value_free`` halves carry no value planes
+    (``cls_vals`` entries are None): one zero row is appended to the
+    operand concat (pad slots index it) and ``row_scale`` (optional
+    [1, rows_per_part] local slab) applies the per-row scalar once
+    after the inverse permutation."""
     from acmgnn_tpu.ops.ell import EllBucket, _bucket_spmm
 
     parts = []
@@ -352,40 +409,74 @@ def _local_ell_aggregate(cls_cols, cls_vals, cls_kc, inv_perm, x_cat,
                 preferred_element_type=jnp.float32,
             )
         )
+    x_pl = x_cat
+    if value_free:
+        # value-free pad slots index this appended zero row (== width)
+        x_pl = jnp.concatenate(
+            [x_cat, jnp.zeros((1, x_cat.shape[1]), x_cat.dtype)], axis=0
+        )
     parts += [
-        _bucket_spmm(EllBucket(cols=c[0], vals=v[0], kc=kc), x_cat)
+        _bucket_spmm(
+            EllBucket(cols=c[0], vals=None if v is None else v[0], kc=kc),
+            x_pl,
+        )
         for c, v, kc in zip(cls_cols, cls_vals, cls_kc)
     ]
     parts.append(jnp.zeros((1, x_cat.shape[1]), jnp.float32))
     concat = jnp.concatenate(parts, axis=0)
-    return jnp.take(concat, inv_perm[0], axis=0)
+    out = jnp.take(concat, inv_perm[0], axis=0)
+    if row_scale is not None:
+        out = out * row_scale[0][:, None]
+    return out
+
+
+def _pre_scale_block(x_block, pre_scale, gather_dtype):
+    """Column-uniform value-free halves scale the operand slab BEFORE
+    the exchange (``A_hat^T g = B^T (s ⊙ g)``): remote consumers then
+    receive already-scaled rows, and the hub matmul (binarized rows)
+    consumes the same scaled concat.  f32 multiply, one rounding into
+    the gather dtype — the same rounding count as the per-edge valued
+    multiply it replaces (ops/ell.py ``_half_spmm``)."""
+    if pre_scale is None:
+        return x_block.astype(gather_dtype)
+    return (
+        x_block.astype(jnp.float32) * pre_scale[0][:, None]
+    ).astype(gather_dtype)
 
 
 def _spmm_shardmap_ell(cls_cols, cls_vals, cls_kc, inv_perm, hub_mat, x,
-                       mesh, gather_dtype):
-    def body(cls_cols, cls_vals, inv_perm, hub_mat, x_block):
+                       mesh, gather_dtype, row_scale=None, pre_scale=None,
+                       value_free=False):
+    def body(cls_cols, cls_vals, inv_perm, hub_mat, row_scale, pre_scale,
+             x_block):
         x_full = jax.lax.all_gather(
-            x_block.astype(gather_dtype), GRAPH_AXIS, axis=0, tiled=True
+            _pre_scale_block(x_block, pre_scale, gather_dtype),
+            GRAPH_AXIS, axis=0, tiled=True,
         )
         return _local_ell_aggregate(
-            cls_cols, cls_vals, cls_kc, inv_perm, x_full, hub_mat
+            cls_cols, cls_vals, cls_kc, inv_perm, x_full, hub_mat,
+            row_scale, value_free,
         )
 
     return jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(P(GRAPH_AXIS), P(GRAPH_AXIS), P(GRAPH_AXIS),
-                  P(GRAPH_AXIS), P(GRAPH_AXIS, None)),
+                  P(GRAPH_AXIS), P(GRAPH_AXIS), P(GRAPH_AXIS),
+                  P(GRAPH_AXIS, None)),
         out_specs=P(GRAPH_AXIS, None),
-    )(cls_cols, cls_vals, inv_perm, hub_mat, x)
+    )(cls_cols, cls_vals, inv_perm, hub_mat, row_scale, pre_scale, x)
 
 
 def _spmm_shardmap_ell_halo(cls_cols, cls_vals, cls_kc, inv_perm, hub_mat,
-                            send_idx, x, mesh, halo_pad, gather_dtype):
-    def body(cls_cols, cls_vals, inv_perm, hub_mat, send_idx, x_block):
+                            send_idx, x, mesh, halo_pad, gather_dtype,
+                            row_scale=None, pre_scale=None,
+                            value_free=False):
+    def body(cls_cols, cls_vals, inv_perm, hub_mat, send_idx, row_scale,
+             pre_scale, x_block):
         send_idx = send_idx[0]  # [P, halo_pad]
         n_parts = send_idx.shape[0]
-        xs = x_block.astype(gather_dtype)
+        xs = _pre_scale_block(x_block, pre_scale, gather_dtype)
         send = jnp.take(xs, send_idx.reshape(-1), axis=0)
         send = send.reshape(n_parts, halo_pad, xs.shape[1])
         halo = jax.lax.all_to_all(
@@ -395,16 +486,19 @@ def _spmm_shardmap_ell_halo(cls_cols, cls_vals, cls_kc, inv_perm, hub_mat,
             [xs, halo.reshape(n_parts * halo_pad, xs.shape[1])], axis=0
         )
         return _local_ell_aggregate(
-            cls_cols, cls_vals, cls_kc, inv_perm, x_cat, hub_mat
+            cls_cols, cls_vals, cls_kc, inv_perm, x_cat, hub_mat,
+            row_scale, value_free,
         )
 
     return jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(P(GRAPH_AXIS), P(GRAPH_AXIS), P(GRAPH_AXIS),
-                  P(GRAPH_AXIS), P(GRAPH_AXIS), P(GRAPH_AXIS, None)),
+                  P(GRAPH_AXIS), P(GRAPH_AXIS), P(GRAPH_AXIS),
+                  P(GRAPH_AXIS), P(GRAPH_AXIS, None)),
         out_specs=P(GRAPH_AXIS, None),
-    )(cls_cols, cls_vals, inv_perm, hub_mat, send_idx, x)
+    )(cls_cols, cls_vals, inv_perm, hub_mat, send_idx, row_scale,
+      pre_scale, x)
 
 
 def sharded_ell_spmm_transpose(op: ShardedEllOp, g: jnp.ndarray,
@@ -412,15 +506,17 @@ def sharded_ell_spmm_transpose(op: ShardedEllOp, g: jnp.ndarray,
     """``A^T @ g`` over the transpose planes — the single definition used
     by both the custom-VJP backward and ``ops.spmm.spmm_transpose``."""
     mesh = op.mesh if mesh is None else mesh
+    vf = op.row_scale_t is not None or op.pre_scale_t is not None
     if op.send_idx_t is not None:
         return _spmm_shardmap_ell_halo(
             op.cls_cols_t, op.cls_vals_t, op.cls_kc_t, op.inv_perm_t,
             op.hub_mat_t, op.send_idx_t, g, mesh, op.halo_pad_t,
-            op.gather_dtype,
+            op.gather_dtype, op.row_scale_t, op.pre_scale_t, vf,
         )
     return _spmm_shardmap_ell(
         op.cls_cols_t, op.cls_vals_t, op.cls_kc_t, op.inv_perm_t,
         op.hub_mat_t, g, mesh, op.gather_dtype,
+        op.row_scale_t, op.pre_scale_t, vf,
     )
 
 
@@ -431,15 +527,17 @@ def sharded_ell_spmm(op: ShardedEllOp, x: jnp.ndarray,
 
     @jax.custom_vjp
     def _spmm(op_, x_):
+        vf = op_.row_scale is not None or op_.pre_scale is not None
         if op_.send_idx is not None:
             return _spmm_shardmap_ell_halo(
                 op_.cls_cols, op_.cls_vals, op_.cls_kc, op_.inv_perm,
                 op_.hub_mat, op_.send_idx, x_, mesh, op_.halo_pad,
-                op_.gather_dtype,
+                op_.gather_dtype, op_.row_scale, op_.pre_scale, vf,
             )
         return _spmm_shardmap_ell(
             op_.cls_cols, op_.cls_vals, op_.cls_kc, op_.inv_perm,
             op_.hub_mat, x_, mesh, op_.gather_dtype,
+            op_.row_scale, op_.pre_scale, vf,
         )
 
     def _fwd(op_, x_):

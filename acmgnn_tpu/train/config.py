@@ -56,9 +56,11 @@ class TrainConfig:
     # wide-feature regimes (Penn94 F=4814).  Attention GEMMs stay f32.
     gemm_dtype: str = "float32"       # "float32" | "bfloat16"
     reorder: str = "none"             # "rcm"|"degree": gather-locality perm
-    # multi-chip row partition: "contiguous" (nnz-balanced blocks) or
+    # multi-chip row partition: "contiguous" (nnz-balanced blocks),
     # "fennel" (streaming min-cut-ish, parallel/partition.py — shrinks
-    # the halo exchange volume on community-structured graphs)
+    # the halo exchange volume on community-structured graphs), or
+    # "balanced" (serpentine-by-degree — balances hub/class-padding
+    # work on heavy-tailed graphs under SPMD-uniform planes)
     partition: str = "contiguous"
     # ELL dense-row hybrid: rows with degree >= this become one MXU
     # matmul block instead of per-edge gather descriptors (pays off on

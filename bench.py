@@ -338,11 +338,12 @@ def bench_epoch_twitch_scale(epochs=30, warmup=5, graph="uniform",
     # Adjacency traversals per epoch under the joint paired loop, each at
     # its REAL operand width (the gather rate is width-dependent): the
     # fused gather (spmm_multi) makes one traversal per CALL, however
-    # many operands ride it — layer-2 fwd (train+eval fused, 4*hidden
-    # cols) + layer-2 bwd transpose (2*hidden) and, when hoisted, one
-    # F-wide stop-gradient input gather for layer 1 (the eval branch
-    # reads the precomputed aggregate).  Hub-resident nnz rides the MXU,
-    # not the descriptor path — excluded from the floor's fetch counts.
+    # many operands ride it — layer-2 fwd (train+eval fused, 4*nclass
+    # cols; out_features-based, NOT hidden-based — see _epoch_passes) +
+    # layer-2 bwd transpose (2*nclass) and, when hoisted, one F-wide
+    # stop-gradient input gather for layer 1 (the eval branch reads the
+    # precomputed aggregate).  Hub-resident nnz rides the MXU, not the
+    # descriptor path — excluded from the floor's fetch counts.
     hub_f, hub_b = _hub_nnz(ops)
     nnz = int(ops.adj_low.nnz)
     passes = _epoch_passes(
@@ -913,7 +914,7 @@ def bench_texas(epochs=500):
 
 def bench_scaling(max_devices=None, repeats=20, fmt="ell",
                   exchange="allgather", graph="twitch", reorder=None,
-                  spmm_dtype="float32"):
+                  spmm_dtype="float32", partition="contiguous"):
     """Sharded-SpMM scaling efficiency across the available mesh sizes.
 
     On a real multi-chip slice this measures the BASELINE.json target
@@ -924,7 +925,16 @@ def bench_scaling(max_devices=None, repeats=20, fmt="ell",
     format, default) or "coo" (segment-sum).  ``exchange``: "allgather" |
     "halo" | "auto".  ``reorder``: optional locality permutation ("rcm")
     applied before partitioning — what makes halo exchange pay.
+    ``partition``: "contiguous" (nnz-balanced blocks) or "balanced"
+    (serpentine-by-degree — balances hub/class padding on heavy tails).
+
+    Every ELL row carries a per-device WORK table (real nnz / hub rows /
+    plane pad expansion — ``sharded_ell_work_accounting``) so scaling
+    collapses can be adjudicated between emulation artifacts and genuine
+    SPMD imbalance that real hardware would inherit (VERDICT r4 item #3).
     """
+    import os
+
     import jax
     import jax.numpy as jnp
 
@@ -932,6 +942,11 @@ def bench_scaling(max_devices=None, repeats=20, fmt="ell",
         locality_order,
         permute_graph,
         row_normalized_adjacency,
+    )
+    from acmgnn_tpu.parallel.partition import (
+        degree_balanced_partition,
+        partition_to_perm,
+        sharded_ell_work_accounting,
     )
     from acmgnn_tpu.parallel.sharded import (
         make_graph_mesh,
@@ -955,15 +970,23 @@ def bench_scaling(max_devices=None, repeats=20, fmt="ell",
     x_np = np.random.default_rng(0).normal(
         size=(adj.shape[0], 64)
     ).astype(np.float32)
+    hub_thr = int(os.environ.get("ACMGNN_ELL_HUB", "2048"))
 
     ndev_avail = len(jax.devices())
     sizes = [s for s in (1, 2, 4, 8, 16) if s <= (max_devices or ndev_avail)]
     rows = []
     for nd in sizes:
         mesh = make_graph_mesh(jax.devices()[:nd])
+        a_nd = a_hat
+        boundaries_hint = None
+        if partition == "balanced" and nd > 1:
+            part = degree_balanced_partition(a_hat, nd)
+            bperm, boundaries_hint = partition_to_perm(part, nd)
+            a_nd = permute_graph(a_hat, bperm)
         if fmt == "ell":
             op, boundaries = make_sharded_ell_op(
-                a_hat, mesh, exchange=exchange,
+                a_nd, mesh, exchange=exchange,
+                boundaries=boundaries_hint,
                 gather_dtype=(
                     jnp.bfloat16 if spmm_dtype == "bfloat16"
                     else jnp.float32
@@ -972,7 +995,7 @@ def bench_scaling(max_devices=None, repeats=20, fmt="ell",
             f = jax.jit(lambda x_: sharded_ell_spmm(op, x_, mesh))
         else:
             op, boundaries = make_sharded_coo_op(
-                a_hat, mesh, exchange=exchange
+                a_nd, mesh, exchange=exchange, boundaries=boundaries_hint
             )
             f = jax.jit(lambda x_: sharded_spmm(op, x_, mesh))
         x = shard_node_array(x_np, boundaries, op.rows_per_part, mesh)
@@ -990,6 +1013,24 @@ def bench_scaling(max_devices=None, repeats=20, fmt="ell",
         if getattr(op, "halo_pad", 0):
             # exchanged rows per device pair slab (dedup'd halo volume)
             row["halo_pad"] = int(op.halo_pad)
+        if fmt == "ell":
+            row["value_free"] = all(v is None for v in op.cls_vals)
+            # per-device work table: is the SPMD-uniform padding load-
+            # imbalanced?  (hub_rows_padded and padded_fetches are paid
+            # by EVERY device regardless of its real share)
+            acc = sharded_ell_work_accounting(
+                a_nd, nd, boundaries=boundaries, hub_threshold=hub_thr
+            )
+            row["per_device"] = {
+                "nnz": [int(v) for v in acc["nnz"]],
+                "hub_rows_real": [int(v) for v in acc["hub_rows"]],
+                "hub_rows_padded": int(acc["hub_rows_padded"]),
+                "padded_fetches": int(acc["padded_fetches"]),
+                "pad_expansion": [
+                    round(float(v), 2) for v in acc["pad_expansion"]
+                ],
+                "hub_mxu_macs_per_col": int(acc["hub_mxu_macs"]),
+            }
         rows.append(row)
     base = rows[0]["edges_per_s"]
     for r in rows:
@@ -1004,6 +1045,7 @@ def bench_scaling(max_devices=None, repeats=20, fmt="ell",
             "graph": graph,
             "reorder": reorder,
             "spmm_dtype": spmm_dtype,
+            "partition": partition,
             "device": str(jax.devices()[0]),
         },
     }

@@ -883,3 +883,245 @@ def test_per_host_slab_loading_matches_full(small_graph, mesh):
     )
     want1 = shard_node_array(labels.astype(np.int32), boundaries, rpp, mesh)
     np.testing.assert_array_equal(np.asarray(got1), np.asarray(want1))
+
+# ---------------------------------------------------------------------------
+# Value-free sharded ELL planes (VERDICT r4 item #1): the single-chip
+# EllHalf.row_scale/pre_scale contract ported to the sharded path
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def powerlaw_noloop_graph(powerlaw_graph):
+    """The powerlaw fixture with self-loops stripped, so
+    ``D^-1(A+I)`` has row-uniform values and value-free detection
+    engages (matching the bench stand-ins, which build with
+    ``drop_self_loops=True``)."""
+    import scipy.sparse as sp
+
+    adj, feats, labels = powerlaw_graph
+    adj = sp.csr_matrix(adj.copy())
+    adj.setdiag(0)
+    adj.eliminate_zeros()
+    return adj, feats, labels
+
+
+@pytest.mark.parametrize("exchange", ["allgather", "halo"])
+def test_sharded_ell_value_free_matches_dense(small_graph, mesh, exchange):
+    """Row-normalized operator of a self-loop-free graph: both halves go
+    value-free (fwd row_scale, transpose pre_scale), results and grads
+    match the dense reference exactly."""
+    from acmgnn_tpu.parallel.sharded import (
+        make_sharded_ell_op,
+        sharded_ell_spmm,
+    )
+
+    adj, feats, _ = small_graph
+    a_hat = row_normalized_adjacency(adj)
+    op, b = make_sharded_ell_op(
+        a_hat, mesh, pad_multiple=16, exchange=exchange, hub_threshold=0
+    )
+    # detection engaged: no value planes on either half
+    assert all(v is None for v in op.cls_vals)
+    assert all(v is None for v in op.cls_vals_t)
+    assert op.row_scale is not None and op.pre_scale is None
+    # A_hat's transpose is column-uniform, not row-uniform -> pre mode
+    assert op.pre_scale_t is not None and op.row_scale_t is None
+
+    x = shard_node_array(feats, b, op.rows_per_part, mesh)
+    out = unpad_node_array(
+        np.asarray(sharded_ell_spmm(op, x, mesh)), b, op.rows_per_part
+    )
+    want = np.asarray(a_hat.todense()) @ feats
+    np.testing.assert_allclose(out, want, rtol=1e-5, atol=1e-6)
+
+    def loss(x_):
+        return jnp.sum(jnp.sin(sharded_ell_spmm(op, x_, mesh)))
+
+    got_g = unpad_node_array(
+        np.asarray(jax.grad(loss)(x)), b, op.rows_per_part
+    )
+    dense = jnp.asarray(np.asarray(a_hat.todense()))
+
+    def loss_ref(x_):
+        return jnp.sum(jnp.sin(dense @ x_))
+
+    want_g = np.asarray(jax.grad(loss_ref)(jnp.asarray(feats)))
+    np.testing.assert_allclose(got_g, want_g, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("exchange", ["allgather", "halo"])
+def test_sharded_ell_value_free_hub_matches_single_chip(
+    powerlaw_noloop_graph, mesh, exchange
+):
+    """The full r5 sharded perf config — value-free planes + dense-hub
+    hybrid + bf16 gather/exchange — against the single-chip EllOp (which
+    rides the same value-free path) and the f32 dense truth."""
+    from acmgnn_tpu.ops.ell import make_ell_op
+    from acmgnn_tpu.parallel.sharded import (
+        make_sharded_ell_op,
+        sharded_ell_spmm,
+    )
+
+    adj, feats, _ = powerlaw_noloop_graph
+    a_hat = row_normalized_adjacency(adj)
+    op, b = make_sharded_ell_op(
+        a_hat, mesh, pad_multiple=16, exchange=exchange,
+        gather_dtype=jnp.bfloat16, hub_threshold=16,
+    )
+    assert all(v is None for v in op.cls_vals)
+    assert op.hub_mat is not None and op.hub_mat_t is not None
+    # transpose hub rows are binarized (pre mode): values in {0, 1}
+    hub_t = np.asarray(op.hub_mat_t, dtype=np.float32)
+    assert set(np.unique(hub_t)).issubset({0.0, 1.0})
+
+    x = shard_node_array(feats, b, op.rows_per_part, mesh)
+    got = unpad_node_array(
+        np.asarray(sharded_ell_spmm(op, x, mesh)), b, op.rows_per_part
+    )
+    single = make_ell_op(a_hat, gather_dtype=jnp.bfloat16, hub_threshold=16)
+    assert single.fwd.row_scale is not None  # same detection single-chip
+    want = np.asarray(spmm(single, jnp.asarray(feats)))
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+    truth = np.asarray(a_hat.todense()) @ feats
+    np.testing.assert_allclose(got, truth, rtol=3e-2, atol=3e-2)
+
+    # gradients: transpose half (binarized hub + pre_scale) vs dense
+    def loss(x_):
+        return jnp.sum(jnp.sin(sharded_ell_spmm(op, x_, mesh)))
+
+    got_g = unpad_node_array(
+        np.asarray(jax.grad(loss)(x)), b, op.rows_per_part
+    )
+    dense = jnp.asarray(np.asarray(a_hat.todense()))
+
+    def loss_ref(x_):
+        return jnp.sum(jnp.sin(dense @ x_))
+
+    want_g = np.asarray(jax.grad(loss_ref)(jnp.asarray(feats)))
+    np.testing.assert_allclose(got_g, want_g, rtol=3e-2, atol=3e-2)
+
+
+def test_sharded_ell_weighted_keeps_valued_planes(small_graph, mesh):
+    """Sym-normalized operators are neither row- nor column-uniform:
+    the sharded build must keep valued planes bit-exactly as before."""
+    from acmgnn_tpu.ops.graph import sym_normalized_adjacency
+    from acmgnn_tpu.parallel.sharded import (
+        make_sharded_ell_op,
+        sharded_ell_spmm,
+    )
+
+    adj, feats, _ = small_graph
+    a_sym = sym_normalized_adjacency(adj)
+    op, b = make_sharded_ell_op(
+        a_sym, mesh, pad_multiple=16, hub_threshold=0
+    )
+    assert all(v is not None for v in op.cls_vals)
+    assert op.row_scale is None and op.pre_scale is None
+    assert op.row_scale_t is None and op.pre_scale_t is None
+    x = shard_node_array(feats, b, op.rows_per_part, mesh)
+    out = unpad_node_array(
+        np.asarray(sharded_ell_spmm(op, x, mesh)), b, op.rows_per_part
+    )
+    want = np.asarray(a_sym.todense()) @ feats
+    np.testing.assert_allclose(out, want, rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_ell_uniform_env_opt_out(small_graph, mesh, monkeypatch):
+    """ACMGNN_ELL_UNIFORM=0 keeps valued planes even for uniform
+    operators — same opt-out as single-chip make_ell_op."""
+    from acmgnn_tpu.parallel.sharded import make_sharded_ell_op
+
+    monkeypatch.setenv("ACMGNN_ELL_UNIFORM", "0")
+    adj, _, _ = small_graph
+    a_hat = row_normalized_adjacency(adj)
+    op, _ = make_sharded_ell_op(a_hat, mesh, pad_multiple=16,
+                                hub_threshold=0)
+    assert all(v is not None for v in op.cls_vals)
+    assert op.row_scale is None and op.pre_scale_t is None
+
+
+def test_sharded_ell_binary_structure_both_halves_post(small_graph, mesh):
+    """The unnormalized symmetric binary adjacency (the acmgcnp
+    structure-channel operator) is row-uniform in BOTH directions, so
+    both halves go value-free in post mode with all-ones scales."""
+    from acmgnn_tpu.parallel.sharded import (
+        make_sharded_ell_op,
+        sharded_ell_spmm,
+    )
+
+    adj, feats, _ = small_graph
+    op, b = make_sharded_ell_op(adj, mesh, pad_multiple=16,
+                                hub_threshold=0)
+    assert op.row_scale is not None and op.row_scale_t is not None
+    assert op.pre_scale is None and op.pre_scale_t is None
+    x = shard_node_array(feats, b, op.rows_per_part, mesh)
+    out = unpad_node_array(
+        np.asarray(sharded_ell_spmm(op, x, mesh)), b, op.rows_per_part
+    )
+    want = np.asarray(adj.todense()) @ feats
+    np.testing.assert_allclose(out, want, rtol=1e-5, atol=1e-5)
+
+
+def test_degree_balanced_partition_balances_hubs(powerlaw_noloop_graph):
+    """Serpentine-by-degree assignment: hub rows and nnz spread evenly
+    across parts even when node ids are degree-ordered (the Chung-Lu
+    stand-ins' worst case for contiguous blocks) — the lever against the
+    SPMD hub/class padding imbalance (VERDICT r4 weak #3)."""
+    import scipy.sparse as sp
+
+    from acmgnn_tpu.ops.graph import permute_graph
+    from acmgnn_tpu.parallel.partition import (
+        degree_balanced_partition,
+        partition_to_perm,
+        sharded_ell_work_accounting,
+    )
+
+    adj, _, _ = powerlaw_noloop_graph
+    a_hat = row_normalized_adjacency(adj)
+    n_parts = 8
+    deg = np.diff(sp.csr_matrix(a_hat).indptr)
+    part = degree_balanced_partition(a_hat, n_parts)
+    assert part.shape == (adj.shape[0],)
+    assert set(np.unique(part)) == set(range(n_parts))
+    # hub spread: per-part counts of rows >= threshold differ by <= 1
+    thr = 16
+    hub_counts = np.bincount(part[deg >= thr], minlength=n_parts)
+    assert hub_counts.max() - hub_counts.min() <= 1
+
+    # accounting on the permuted/contiguous layout: balanced partition
+    # must cut both the padded hub block and the plane pad expansion vs
+    # the contiguous nnz-balanced baseline
+    perm, boundaries = partition_to_perm(part, n_parts)
+    acc_bal = sharded_ell_work_accounting(
+        permute_graph(a_hat, perm), n_parts, boundaries, hub_threshold=thr
+    )
+    acc_con = sharded_ell_work_accounting(
+        a_hat, n_parts, hub_threshold=thr
+    )
+    assert acc_bal["hub_rows_padded"] <= acc_con["hub_rows_padded"]
+    # every device pays padded_fetches; balanced should not be worse
+    assert acc_bal["padded_fetches"] <= acc_con["padded_fetches"]
+    # real-vs-padded accounting is self-consistent
+    assert acc_bal["nnz"].sum() == sp.csr_matrix(a_hat).nnz
+
+
+def test_run_experiment_sharded_balanced_partition(powerlaw_noloop_graph,
+                                                   mesh):
+    """cfg.partition="balanced" trains end-to-end on the mesh (the
+    permute + boundaries flow shared with fennel)."""
+    from acmgnn_tpu.ops.graph import GraphData
+    from acmgnn_tpu.train.config import TrainConfig
+    from acmgnn_tpu.train.trainer import run_experiment_sharded
+
+    adj, feats, labels = powerlaw_noloop_graph
+    data = GraphData(name="powerlaw-bal", adj=adj, features=feats,
+                     labels=labels)
+    cfg = TrainConfig(
+        model_type="acmgcnp", hidden=16, epochs=20, early_stopping=0,
+        num_splits=1, dropout=0.2, operator_format="ell",
+        spmm_dtype="bfloat16", ell_hub_threshold=16, joint=True,
+        hoist_first=True, partition="balanced",
+    )
+    out = run_experiment_sharded(data, cfg, mesh, pad_multiple=16)
+    assert np.isfinite(out["test_mean"]), out
+    assert 0.0 <= out["test_mean"] <= 1.0

@@ -51,9 +51,18 @@ def build_scenario(scenario):
     )
 
     epochs = int(os.environ.get("ACMGNN_PROFILE_EPOCHS", "10"))
+    wiki = scenario == "epoch_wiki"
     if scenario == "epoch":
         adj, features, labels = bench._twitch_gamers_scale_graph()
         spec = dict(model="acmgcnp", rocauc=False, structure_info=False)
+        f = features.shape[1]
+    elif wiki:
+        # mirror bench.bench_epoch_wiki's graph + config exactly
+        # (sequential loop + remat + bf16 feature storage — the measured
+        # single-chip memory ladder; PERF.md wiki section)
+        adj, features, labels = bench._wiki_scale_graph()
+        spec = dict(model="acmgcnp", rocauc=False, structure_info=False,
+                    c=5)
         f = features.shape[1]
     else:
         name = scenario.removeprefix("epoch_")
@@ -61,7 +70,10 @@ def build_scenario(scenario):
         rng = np.random.default_rng(0)
         n, e = spec["n"], spec["e"]
         src, dst = bench._chung_lu_edges(n, e, spec.get("max_deg", 0), 0)
-        adj = build_sym_adjacency(src, dst, n)
+        # drop_self_loops matches bench.py (ADVICE r4: a self-loop'd
+        # build makes D^-1(A+I) rows non-uniform, so the profile would
+        # exercise valued planes while the bench runs value-free)
+        adj = build_sym_adjacency(src, dst, n, drop_self_loops=True)
         features = rng.normal(size=(n, spec["f"])).astype(np.float32)
         labels = rng.integers(0, spec["c"], size=n).astype(np.int32)
         f = spec["f"]
@@ -84,8 +96,19 @@ def build_scenario(scenario):
         operator_format="ell",
         spmm_dtype=os.environ.get("ACMGNN_BENCH_DTYPE", "bfloat16"),
         gemm_dtype=os.environ.get("ACMGNN_BENCH_GEMM", "float32"),
-        joint=os.environ.get("ACMGNN_BENCH_JOINT", "1") == "1",
-        hoist_first=os.environ.get("ACMGNN_BENCH_HOIST", "1") == "1",
+        joint=(os.environ.get("ACMGNN_BENCH_JOINT", "0" if wiki else "1")
+               == "1"),
+        hoist_first=(
+            os.environ.get(
+                "ACMGNN_BENCH_HOIST_WIKI" if wiki else "ACMGNN_BENCH_HOIST",
+                "0" if wiki else "1",
+            ) == "1"
+        ),
+        remat=wiki and os.environ.get("ACMGNN_BENCH_REMAT", "1") == "1",
+        feature_dtype=(
+            os.environ.get("ACMGNN_BENCH_FDTYPE", "bfloat16")
+            if wiki else "float32"
+        ),
     )
     data, ops, x, y, y1h, nclass = prepare_data(data, cfg)
     n = data.num_nodes
