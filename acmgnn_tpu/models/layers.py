@@ -83,6 +83,23 @@ def _make_mm(gemm_dtype):
 HOIST_MAX_COLS = 128
 
 
+class _LNParams(nn.Module):
+    """Parameter shell matching ``nn.LayerNorm``'s ``{scale, bias}``
+    variable tree, so the fused batched LayerNorm below keeps the exact
+    checkpoint / torch-oracle param layout of the per-channel
+    ``nn.LayerNorm`` modules it replaces (``layer_norm_<name>/scale``,
+    ``.../bias``)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("scale", nn.initializers.ones, (self.dim,)),
+            self.param("bias", nn.initializers.zeros, (self.dim,)),
+        )
+
+
 class ACMConv(nn.Module):
     """Adaptive Channel Mixing graph convolution.
 
@@ -111,10 +128,26 @@ class ACMConv(nn.Module):
     # scoring and mixing stay exact f32 (tiny GEMMs, accuracy-critical).
     gemm_dtype: Optional[str] = None
 
-    def _make_lns(self, t: int):
-        """LayerNorm submodules for the attention inputs (create once per
-        call even when attention runs for both the train/eval branches)."""
+    def _make_lns(self, t: int, f_out: int):
+        """LayerNorm state for the attention inputs (create once per
+        call even when attention runs for both the train/eval branches).
+
+        Default (ACMGNN_LN_FUSED=1): ``_LNParams`` shells — same
+        ``layer_norm_<nm>/{scale,bias}`` variable tree as nn.LayerNorm —
+        consumed by ONE batched [N, T, d] normalization in
+        ``_attention`` (one mean/var pass instead of T·branches·layers
+        separate small normalizations; same math, eps 1e-5, flax
+        fast-variance formula).  ``ACMGNN_LN_FUSED=0`` keeps the
+        per-channel nn.LayerNorm modules (bit-level float association
+        A/B; parameters are interchangeable between the two forms)."""
+        import os
+
         names = ["low", "high", "mlp", "struc_low"][:t]
+        if os.environ.get("ACMGNN_LN_FUSED", "1") == "1":
+            return [
+                _LNParams(f_out, name=f"layer_norm_{nm}")()
+                for nm in names
+            ]
         # eps matches torch nn.LayerNorm (1e-5)
         return [
             nn.LayerNorm(epsilon=1e-5, name=f"layer_norm_{nm}")
@@ -140,8 +173,27 @@ class ACMConv(nn.Module):
         att_vecs, att_mix = att_params
         if self.use_layernorm:
             if ln_mods is None:
-                ln_mods = self._make_lns(t)
-            lns = [ln_mods[i](channels[i]) for i in range(t)]
+                ln_mods = self._make_lns(t, channels[0].shape[-1])
+            if isinstance(ln_mods[0], tuple):
+                # fused batched LayerNorm: one mean/var pass over the
+                # stacked [N, T, d] channels (flax fast-variance math,
+                # eps 1e-5) — replaces T separate normalizations whose
+                # small kernels showed up in the penn94_pp/headline
+                # traces (VERDICT r4 item #4)
+                stack = jnp.stack(channels, axis=1)
+                mu = jnp.mean(stack, axis=-1, keepdims=True)
+                var = jnp.maximum(
+                    jnp.mean(jnp.square(stack), axis=-1, keepdims=True)
+                    - jnp.square(mu),
+                    0.0,
+                )
+                norm = (stack - mu) * jax.lax.rsqrt(var + 1e-5)
+                scale = jnp.stack([s for s, _ in ln_mods], axis=0)
+                bias = jnp.stack([b for _, b in ln_mods], axis=0)
+                normed = norm * scale[None] + bias[None]
+                lns = [normed[:, i] for i in range(t)]
+            else:
+                lns = [ln_mods[i](channels[i]) for i in range(t)]
         else:
             lns = channels
         scores = jnp.concatenate(
@@ -327,7 +379,10 @@ class ACMConv(nn.Module):
         if use_structure and self.nnodes is None:
             raise ValueError("structure_info requires nnodes")
         t_channels = 4 if use_structure else 3
-        ln_mods = self._make_lns(t_channels) if self.use_layernorm else None
+        ln_mods = (
+            self._make_lns(t_channels, f_out) if self.use_layernorm
+            else None
+        )
         att_params = self._attention_params(t_channels, f_out)
         h_struc = None
         if use_structure:

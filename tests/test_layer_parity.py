@@ -200,3 +200,54 @@ def test_param_shapes_and_init_ranges(small_graph):
     att = np.asarray(params["att_vec"])
     assert att.shape == (4, 4)
     assert att.min() >= -0.5 and att.max() <= 0.5  # 1/sqrt(4)
+
+
+def test_fused_ln_matches_per_channel_modules(small_graph, monkeypatch):
+    """The fused batched LayerNorm (ACMGNN_LN_FUSED=1, default) and the
+    per-channel nn.LayerNorm modules share one parameter tree and
+    produce the same outputs (randomized scale/bias so the affine part
+    is exercised, not just the normalization)."""
+    adj, features, _ = small_graph
+    n = adj.shape[0]
+    f_in, f_out = features.shape[1], 16
+    rng = np.random.default_rng(3)
+    w = _random_weights(rng, f_in, f_out, n, True)
+    params = _flax_params(w, True, True, f_out)
+    # randomize the LN affine params (init values 1/0 would hide bugs)
+    for nm in ("low", "high", "mlp", "struc_low"):
+        params["params"][f"layer_norm_{nm}"] = {
+            "scale": jnp.asarray(
+                rng.normal(1.0, 0.3, size=(f_out,)).astype(np.float32)
+            ),
+            "bias": jnp.asarray(
+                rng.normal(0.0, 0.3, size=(f_out,)).astype(np.float32)
+            ),
+        }
+    ops = Operators(
+        adj_low=make_dense_op(row_normalized_adjacency(adj)),
+        adj_unnorm=make_dense_op(adj),
+    )
+    layer = ACMConv(
+        out_features=f_out, model_type="acmgcnp", structure_info=True,
+        use_layernorm=True, nnodes=n,
+    )
+    x = jnp.asarray(features)
+    monkeypatch.setenv("ACMGNN_LN_FUSED", "1")
+    got_fused = np.asarray(layer.apply(params, x, ops))
+    monkeypatch.setenv("ACMGNN_LN_FUSED", "0")
+    got_mods = np.asarray(layer.apply(params, x, ops))
+    np.testing.assert_allclose(got_fused, got_mods, rtol=1e-5, atol=1e-5)
+    # gradients agree too (the fused form is on the backward path)
+    def loss(fn_params):
+        return jnp.sum(jnp.square(layer.apply(fn_params, x, ops)))
+
+    monkeypatch.setenv("ACMGNN_LN_FUSED", "1")
+    g_fused = jax.grad(loss)(params)
+    monkeypatch.setenv("ACMGNN_LN_FUSED", "0")
+    g_mods = jax.grad(loss)(params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
+        ),
+        g_fused, g_mods,
+    )
