@@ -444,24 +444,74 @@ def make_ell_op(
     uniform_on = os.environ.get("ACMGNN_ELL_UNIFORM", "1") == "1"
     scale_fwd = _row_uniform_values(csr) if uniform_on else None
     csr_t = csr.T.tocsr()
+    csr_t.sort_indices()
     scale_bwd = _row_uniform_values(csr_t) if uniform_on else None
+    # Value-free halves have no value planes, so the pad-vs-bucket-count
+    # tradeoff shifts: pad slots cost a full descriptor fetch but save
+    # zero value-plane bytes (there are none), so a TIGHTER bucket ratio
+    # (fewer pad slots, more buckets) can pay where the valued default
+    # (0.75) would have doubled both planes' bucket overhead.  Default
+    # keeps the valued ratio; override via ACMGNN_ELL_VF_RATIO for the
+    # measured A/B (VERDICT r4 item #6).
+    vf_ratio = float(
+        os.environ.get("ACMGNN_ELL_VF_RATIO", str(bucket_ratio))
+    )
 
     def build(m, uniform_scale=None, scale_mode="post"):
         return _build_half(
-            m, kc, min_bucket_rows, bucket_ratio,
+            m, kc, min_bucket_rows,
+            vf_ratio if uniform_scale is not None else bucket_ratio,
             hub_threshold=hub_threshold, chunk_fetches=chunk_fetches,
             block=block, hub_dtype=gather_dtype, plane_dtype=gather_dtype,
             uniform_scale=uniform_scale, scale_mode=scale_mode,
         )
 
-    if scale_bwd is not None:
+    fwd = build(csr, scale_fwd, "post")
+    # Transpose plane sharing (VERDICT r4 item #6): when the BINARY
+    # structure is symmetric (undirected A+I — every bench graph) and
+    # both halves are value-free, the transpose's cols planes, inverse
+    # permutation and bucketing are bit-identical to the forward's
+    # (same structure, same degrees, same stable degree sort), so the
+    # backward half REUSES the forward's index planes by reference —
+    # halving the operator's index-plane HBM residency — and only swaps
+    # the scale mode (pre-scale the operand: A^T g = B^T (s ⊙ g)) and a
+    # binarized view of the hub block.  ACMGNN_ELL_SHARE_T=0 disables
+    # for A/B.
+    share_on = os.environ.get("ACMGNN_ELL_SHARE_T", "1") == "1"
+    sym_struct = (
+        share_on
+        and block == 1
+        and np.array_equal(csr.indptr, csr_t.indptr)
+        and np.array_equal(csr.indices, csr_t.indices)
+    )
+    # fully symmetric matrix (values too: binary structure operator,
+    # symmetric normalization): A^T == A, the backward half IS the
+    # forward half — share the whole EllHalf
+    sym_full = sym_struct and np.array_equal(csr.data, csr_t.data)
+    share_t = sym_struct and scale_fwd is not None and scale_bwd is None
+    if sym_full:
+        bwd = fwd
+    elif share_t:
+        hub_bin = None
+        if fwd.hub_mat is not None:
+            hub_bin = (fwd.hub_mat != 0).astype(fwd.hub_mat.dtype)
+        bwd = EllHalf(
+            buckets=fwd.buckets,
+            inv_perm=fwd.inv_perm,
+            num_zero_rows=fwd.num_zero_rows,
+            hub_mat=hub_bin,
+            hub_nnz=fwd.hub_nnz,
+            row_scale=None,
+            pre_scale=jnp.asarray(np.asarray(scale_fwd, np.float32)),
+        )
+    elif scale_bwd is not None:
         bwd = build(csr_t, scale_bwd, "post")
     elif scale_fwd is not None:
         bwd = build(csr_t, scale_fwd, "pre")
     else:
         bwd = build(csr_t)
     return EllOp(
-        fwd=build(csr, scale_fwd, "post"),
+        fwd=fwd,
         bwd=bwd,
         num_nodes=csr.shape[0],
         nnz=int(csr.nnz),
