@@ -334,13 +334,42 @@ def make_sharded_ell_op(
     halo = _choose_halo(blocks, exchange, n_parts)
     if halo:
         blocks = dict(blocks, col_h=halo["col_h"], col_h_t=halo["col_h_t"])
+    # Transpose plane sharing, mirroring the single-chip make_ell_op
+    # (ops/ell.py): when the binary structure is symmetric the transpose
+    # block triplets are identical to the forward's (undirected A+I —
+    # same rows, same column indices, same halo schedule), so a
+    # value-free backward half reuses the forward's cols planes and
+    # inverse permutation BY REFERENCE (one device buffer, not two —
+    # halving the sharded operator's index-plane HBM) and only swaps the
+    # scale mode (operand pre-scale before the exchange) plus a
+    # binarized hub block.  ACMGNN_ELL_SHARE_T=0 disables for A/B.
+    ck, ck_t = ("col_h", "col_h_t") if halo else ("col", "col_t")
+    share_struct = (
+        os.environ.get("ACMGNN_ELL_SHARE_T", "1") == "1"
+        and np.array_equal(blocks["row_l_t"], blocks["row_l"])
+        and np.array_equal(blocks[ck_t], blocks[ck])
+        and (not halo
+             or int(halo["halo_pad_t"]) == int(halo["halo_pad"]))
+    )
+    # fully symmetric matrix (values too: binary structure operator,
+    # symmetric normalization): the backward half IS the forward half
+    share_full = share_struct and np.array_equal(
+        blocks["val_t"], blocks["val"]
+    )
+    share_t = (
+        share_struct
+        and not share_full
+        and scale_fwd is not None
+        and scale_bwd is None
+    )
+    if halo:
         fwd = build_sharded_ell(
             blocks, col_key="col_h",
             n_cols=rpp + n_parts * int(halo["halo_pad"]),
             hub_threshold=hub_threshold, plane_dtype=gather_dtype,
             **fwd_scale,
         )
-        bwd = build_sharded_ell(
+        bwd = None if (share_t or share_full) else build_sharded_ell(
             blocks, col_key="col_h_t", row_key="row_l_t", val_key="val_t",
             n_cols=rpp + n_parts * int(halo["halo_pad_t"]),
             hub_threshold=hub_threshold, plane_dtype=gather_dtype,
@@ -351,7 +380,7 @@ def make_sharded_ell_op(
             blocks, hub_threshold=hub_threshold, plane_dtype=gather_dtype,
             **fwd_scale,
         )
-        bwd = build_sharded_ell(
+        bwd = None if (share_t or share_full) else build_sharded_ell(
             blocks, col_key="col_t", row_key="row_l_t", val_key="val_t",
             hub_threshold=hub_threshold, plane_dtype=gather_dtype,
             **bwd_scale,
@@ -360,15 +389,46 @@ def make_sharded_ell_op(
     dev = lambda a: (  # noqa: E731
         None if a is None else jax.device_put(jnp.asarray(a), shard)
     )
+    cls_cols = tuple(dev(c) for c, _, _ in fwd["classes"])
+    cls_vals = tuple(dev(v) for _, v, _ in fwd["classes"])
+    inv_perm = dev(fwd["inv_perm"])
+    hub_f = dev(fwd["hub_mat"])
+    rs_f = dev(fwd["row_scale"])
+    ps_f = dev(fwd["pre_scale"])
+    if share_full:
+        cls_cols_t, cls_vals_t, inv_perm_t = cls_cols, cls_vals, inv_perm
+        kc_t = tuple(k for _, _, k in fwd["classes"])
+        hub_t, rs_t, ps_t = hub_f, rs_f, ps_f
+    elif share_t:
+        hub_bin = None
+        if fwd["hub_mat"] is not None:
+            # pre-scale mode hub rows hold the binary structure (the
+            # matmul consumes the pre-scaled operand; ops/ell.py)
+            hub_np = np.asarray(fwd["hub_mat"])
+            hub_bin = (hub_np != 0).astype(hub_np.dtype)
+        pre_slab = pad_node_array(
+            np.asarray(scale_fwd, np.float32), blocks["boundaries"], rpp
+        ).reshape(n_parts, rpp)
+        cls_cols_t, cls_vals_t, inv_perm_t = cls_cols, cls_vals, inv_perm
+        kc_t = tuple(k for _, _, k in fwd["classes"])
+        hub_t, rs_t, ps_t = dev(hub_bin), None, dev(pre_slab)
+    else:
+        cls_cols_t = tuple(dev(c) for c, _, _ in bwd["classes"])
+        cls_vals_t = tuple(dev(v) for _, v, _ in bwd["classes"])
+        inv_perm_t = dev(bwd["inv_perm"])
+        kc_t = tuple(k for _, _, k in bwd["classes"])
+        hub_t = dev(bwd["hub_mat"])
+        rs_t = dev(bwd["row_scale"])
+        ps_t = dev(bwd["pre_scale"])
     return ShardedEllOp(
-        cls_cols=tuple(dev(c) for c, _, _ in fwd["classes"]),
-        cls_vals=tuple(dev(v) for _, v, _ in fwd["classes"]),
-        inv_perm=dev(fwd["inv_perm"]),
-        cls_cols_t=tuple(dev(c) for c, _, _ in bwd["classes"]),
-        cls_vals_t=tuple(dev(v) for _, v, _ in bwd["classes"]),
-        inv_perm_t=dev(bwd["inv_perm"]),
+        cls_cols=cls_cols,
+        cls_vals=cls_vals,
+        inv_perm=inv_perm,
+        cls_cols_t=cls_cols_t,
+        cls_vals_t=cls_vals_t,
+        inv_perm_t=inv_perm_t,
         cls_kc=tuple(k for _, _, k in fwd["classes"]),
-        cls_kc_t=tuple(k for _, _, k in bwd["classes"]),
+        cls_kc_t=kc_t,
         rows_per_part=rpp,
         num_nodes=int(blocks["num_nodes"]),
         nnz=int(blocks["nnz"]),
@@ -378,12 +438,12 @@ def make_sharded_ell_op(
         halo_pad=int(halo["halo_pad"]) if halo else 0,
         halo_pad_t=int(halo["halo_pad_t"]) if halo else 0,
         gather_dtype=gather_dtype,
-        hub_mat=dev(fwd["hub_mat"]),
-        hub_mat_t=dev(bwd["hub_mat"]),
-        row_scale=dev(fwd["row_scale"]),
-        pre_scale=dev(fwd["pre_scale"]),
-        row_scale_t=dev(bwd["row_scale"]),
-        pre_scale_t=dev(bwd["pre_scale"]),
+        hub_mat=hub_f,
+        hub_mat_t=hub_t,
+        row_scale=rs_f,
+        pre_scale=ps_f,
+        row_scale_t=rs_t,
+        pre_scale_t=ps_t,
     ), blocks["boundaries"]
 
 

@@ -721,6 +721,10 @@ def bench_epoch_wiki(epochs=10):
         # features fits.  remat + bf16 feature storage are the defaults.
         remat=os.environ.get("ACMGNN_BENCH_REMAT", "1") == "1",
         feature_dtype=os.environ.get("ACMGNN_BENCH_FDTYPE", "bfloat16"),
+        # locality A/B for the 2M-table gather-rate penalty (measured
+        # 88M vs 460M rows/s at 168k rows — PERF.md): RCM banding may
+        # recover TLB/page locality that the Chung-Lu id order lacks
+        reorder=os.environ.get("ACMGNN_BENCH_REORDER_WIKI", "none"),
     )
     n = adj.shape[0]
     # Pre-measure the floor rate BEFORE the training allocations exist:
@@ -784,6 +788,7 @@ def bench_epoch_wiki(epochs=10):
         "adj_traversals_per_epoch": len(passes),
         "hub_nnz_fwd": hub_f,
         "hoist_first": bool(cfg.resolve_hoist()),
+        "reorder": cfg.reorder,
         "device_peak_gb": peak_gb,
         "epochs": epochs,
         "device": str(jax.devices()[0]),
