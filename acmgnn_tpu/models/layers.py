@@ -132,18 +132,25 @@ class ACMConv(nn.Module):
         """LayerNorm state for the attention inputs (create once per
         call even when attention runs for both the train/eval branches).
 
-        Default (ACMGNN_LN_FUSED=1): ``_LNParams`` shells — same
-        ``layer_norm_<nm>/{scale,bias}`` variable tree as nn.LayerNorm —
-        consumed by ONE batched [N, T, d] normalization in
-        ``_attention`` (one mean/var pass instead of T·branches·layers
-        separate small normalizations; same math, eps 1e-5, flax
-        fast-variance formula).  ``ACMGNN_LN_FUSED=0`` keeps the
-        per-channel nn.LayerNorm modules (bit-level float association
-        A/B; parameters are interchangeable between the two forms)."""
+        Default (ACMGNN_LN_FUSED=0): per-channel nn.LayerNorm modules.
+        ACMGNN_LN_FUSED=1 switches to ``_LNParams`` shells — same
+        ``layer_norm_<nm>/{scale,bias}`` variable tree — consumed by ONE
+        batched [N, T, d] normalization in ``_attention`` (one mean/var
+        pass; same math, eps 1e-5, flax fast-variance formula;
+        parameters are interchangeable between the two forms).
+
+        MEASURED SLOWER on TPU v5e and therefore default-off: the
+        ``jnp.stack`` materializes a [N, T, d] copy of the channels that
+        the per-channel form never builds, and XLA does not fuse it away
+        — penn94_pp 95.9 (fused) vs 94.6 ms (per-channel), headline
+        139.9 vs ~135.6 (bench_r5_records r5_penn94_pp[_lnmod],
+        r5_headline*).  Kept as a knob: the batched form wins where
+        normalization-kernel dispatch dominates (many tiny graphs), not
+        where HBM bandwidth does (these scenarios)."""
         import os
 
         names = ["low", "high", "mlp", "struc_low"][:t]
-        if os.environ.get("ACMGNN_LN_FUSED", "1") == "1":
+        if os.environ.get("ACMGNN_LN_FUSED", "0") == "1":
             return [
                 _LNParams(f_out, name=f"layer_norm_{nm}")()
                 for nm in names

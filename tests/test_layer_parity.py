@@ -203,7 +203,8 @@ def test_param_shapes_and_init_ranges(small_graph):
 
 
 def test_fused_ln_matches_per_channel_modules(small_graph, monkeypatch):
-    """The fused batched LayerNorm (ACMGNN_LN_FUSED=1, default) and the
+    """The fused batched LayerNorm (ACMGNN_LN_FUSED=1; default off —
+    measured slower on TPU, see layers.py _make_lns) and the
     per-channel nn.LayerNorm modules share one parameter tree and
     produce the same outputs (randomized scale/bias so the affine part
     is exercised, not just the normalization)."""

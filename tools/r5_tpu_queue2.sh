@@ -19,6 +19,8 @@ run() {
     echo "{\"label\": \"$label\", \"record\": $out}" >> "$REC"
   fi
 }
+run r5_headline_v2      python -u bench.py --scenario epoch
+run r5_headline_noshare env ACMGNN_ELL_SHARE_T=0 python -u bench.py --scenario epoch
 echo "=== residual profile penn94_pp  $(date +%T) ==="
 python -u tools/residual_profile.py --scenario epoch_penn94_pp \
   > /tmp/r5_profile_pp.log 2>&1
