@@ -276,13 +276,22 @@ def _floor_fields(n, passes, epoch_ms, dtype, explain_low=None,
     return out
 
 
-def _measure_rocauc_eval_ms(n, nclass, masks, reps=4):
+def _measure_rocauc_eval_ms(n, nclass, masks, reps=4, k_many=8):
     """Measured per-epoch cost of the shared-sort ROC-AUC eval at this
     run's shapes (sort + packed rank gathers + scans) — the genius
     epoch's dominant non-gather component.  The joint runner computes it
     once per epoch, serially dependent on the logits, so it is a genuine
-    additive floor term.  Unique inputs per call + device_get sync (the
-    remote backend dedups identical executions — CLAUDE.md)."""
+    additive floor term.
+
+    The per-call cost over the remote tunnel includes ~10-30 ms of
+    dispatch/sync latency that the fused epoch loop never pays (it runs
+    hundreds of epochs inside one device program), so a single solo call
+    OVERSTATES the term — the r5 first cut put genius at 110% of floor
+    this way.  Instead the eval is applied K times inside one jitted
+    program (distinct scales so nothing folds away) and the marginal
+    cost (t_K - t_1)/(K - 1) is returned: dispatch cancels, the
+    in-loop cost remains.  Unique inputs per call + device_get sync
+    (the remote backend dedups identical executions — CLAUDE.md)."""
     import jax
     import jax.numpy as jnp
 
@@ -292,16 +301,34 @@ def _measure_rocauc_eval_ms(n, nclass, masks, reps=4):
     logits = jnp.asarray(rng.normal(size=(n, nclass)).astype(np.float32))
     labels = jnp.asarray(rng.integers(0, 2, size=n).astype(np.int32))
 
-    f = jax.jit(
-        lambda s: masked_rocauc_multi(logits * s, labels, masks)
-    )
-    jax.device_get(f(jnp.asarray(1.0, jnp.float32)))  # compile + warm
-    best = float("inf")
-    for i in range(reps):
-        t0 = time.perf_counter()
-        jax.device_get(f(jnp.asarray(2.0 + i, jnp.float32)))
-        best = min(best, time.perf_counter() - t0)
-    return 1000.0 * best
+    def make(k):
+        def body(s):
+            acc = jnp.zeros(())
+            for i in range(k):
+                r = masked_rocauc_multi(
+                    logits * (s + i), labels, masks
+                )
+                # consume EVERY output leaf — a partial sum would let
+                # XLA dead-code-eliminate the other masks' AUC work
+                for leaf in jax.tree_util.tree_leaves(r):
+                    acc = acc + jnp.sum(leaf)
+            return acc
+
+        return jax.jit(body)
+
+    def best_ms(f, base):
+        jax.device_get(f(jnp.asarray(base, jnp.float32)))  # compile
+        best = float("inf")
+        for i in range(reps):
+            t0 = time.perf_counter()
+            jax.device_get(f(jnp.asarray(base + 10.0 * (i + 1),
+                                         jnp.float32)))
+            best = min(best, time.perf_counter() - t0)
+        return 1000.0 * best
+
+    t1 = best_ms(make(1), 1.0)
+    tk = best_ms(make(k_many), 2.0)
+    return max((tk - t1) / (k_many - 1), 0.0)
 
 
 def bench_epoch_twitch_scale(epochs=30, warmup=5, graph="uniform",

@@ -21,6 +21,9 @@ run() {
 }
 run r5_headline_v2      python -u bench.py --scenario epoch
 run r5_headline_noshare env ACMGNN_ELL_SHARE_T=0 python -u bench.py --scenario epoch
+# re-record with the dispatch-amortized eval floor term (the first cut
+# read 110% of floor: solo-call tunnel dispatch inflated the term)
+run r5_genius_v2        python -u bench.py --scenario epoch_genius
 echo "=== residual profile penn94_pp  $(date +%T) ==="
 python -u tools/residual_profile.py --scenario epoch_penn94_pp \
   > /tmp/r5_profile_pp.log 2>&1
