@@ -331,6 +331,69 @@ def _measure_rocauc_eval_ms(n, nclass, masks, reps=4, k_many=8):
     return max((tk - t1) / (k_many - 1), 0.0)
 
 
+def _measure_wiki_gemm_set_ms(n, f, hidden, gemm_dtype, remat, reps=3):
+    """Measured per-epoch cost of the wide-F channel-projection GEMMs at
+    wiki shapes — the dominant non-gather term of the sequential F=600
+    epoch (floor model v2 extra term).
+
+    The per-epoch set at the wiki config (sequential loop, no hoist):
+    train fwd 3 ([N,F]@[F,H], one per channel) + backward dW 3
+    ([F,N]@[N,H]) + eval fwd 3, plus the remat recompute of the train
+    forward (+3) when ``remat`` — layer-2 GEMMs are [N,H] and
+    negligible.  Timed as the marginal cost of a second full set inside
+    one jitted program (dispatch cancels, as in
+    ``_measure_rocauc_eval_ms``); buffers are freed before the training
+    allocations exist (the probe's [N,F] f32 operand is ~4.6 GB at wiki
+    scale)."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(n, f)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(f, hidden)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(n, hidden)).astype(np.float32))
+    op_dtype = jnp.bfloat16 if gemm_dtype == "bfloat16" else jnp.float32
+    n_fwd = 9 if remat else 6  # train fwd + eval fwd (+ remat recompute)
+
+    def make(k):
+        def body(s):
+            acc = jnp.zeros((), jnp.float32)
+            for rep in range(k):
+                for i in range(n_fwd):
+                    z = jnp.dot(
+                        (x * (s + rep * 31 + i)).astype(op_dtype),
+                        w.astype(op_dtype),
+                        preferred_element_type=jnp.float32,
+                    )
+                    acc = acc + jnp.sum(z)
+                for i in range(3):  # dW transposes
+                    dw = jax.lax.dot_general(
+                        (x * (s + rep * 31 + 17 + i)).astype(op_dtype),
+                        g.astype(op_dtype),
+                        (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    acc = acc + jnp.sum(dw)
+            return acc
+
+        return jax.jit(body)
+
+    def best_ms(fn, base):
+        jax.device_get(fn(jnp.asarray(base, jnp.float32)))
+        best = float("inf")
+        for i in range(reps):
+            t0 = time.perf_counter()
+            jax.device_get(fn(jnp.asarray(base + 100.0 * (i + 1),
+                                          jnp.float32)))
+            best = min(best, time.perf_counter() - t0)
+        return 1000.0 * best
+
+    t1 = best_ms(make(1), 1.0)
+    t2 = best_ms(make(2), 2.0)
+    del x, w, g
+    return max(t2 - t1, 0.0)
+
+
 def bench_epoch_twitch_scale(epochs=30, warmup=5, graph="uniform",
                              hub_threshold=0):
     import jax
@@ -762,10 +825,18 @@ def bench_epoch_wiki(epochs=10):
     # at F=600 => every pass is 2*hidden wide.
     nnz_low_est = int((adj + sp.eye(n, format="csr", dtype=adj.dtype)).nnz)
     floor_failed = None
+    gemm_ms = None
     try:
         # L1 passes are 2*hidden wide, L2 passes 2*nclass (5 classes)
         measure_gather_rate(n, nnz_low_est, 2 * cfg.hidden, cfg.spmm_dtype)
         measure_gather_rate(n, nnz_low_est, 2 * 5, cfg.spmm_dtype)
+        # floor model v2 extra term: the F=600 projection GEMMs are a
+        # serial, irreducible part of this epoch (measured here, solo,
+        # before the training allocations exist)
+        gemm_ms = _measure_wiki_gemm_set_ms(
+            n, int(features.shape[1]), cfg.hidden, cfg.gemm_dtype,
+            cfg.remat,
+        )
     except Exception as e:  # never let the probe kill the measurement
         floor_failed = f"{type(e).__name__}: {e}"
 
@@ -806,6 +877,28 @@ def bench_epoch_wiki(epochs=10):
         nnz - hub_f, nnz - hub_b, cfg.hidden, int(features.shape[1]),
         nclass, joint=cfg.joint, hoist=cfg.resolve_hoist(),
     )
+    # floor model v2 extra terms (VERDICT r4 items #2/#5): the measured
+    # wide-GEMM set, plus the remat recompute — jax.checkpoint re-runs
+    # BOTH layers' forward aggregates inside the backward, two genuine
+    # adjacency traversals the 6-pass model missed
+    extra_terms = {}
+    if gemm_ms is not None:
+        extra_terms["wide_gemm_measured"] = gemm_ms
+    remat_traversals = 0
+    if cfg.remat and not (cfg.resolve_hoist()
+                          and int(features.shape[1]) <= 128):
+        remat_passes = [
+            (nnz - hub_f, 2 * cfg.hidden),
+            (nnz - hub_f, 2 * nclass),
+        ]
+        remat_traversals = len(remat_passes)
+        try:
+            remat_ms, _ = floor_from_passes(
+                n, remat_passes, cfg.spmm_dtype
+            )
+            extra_terms["remat_recompute_passes"] = remat_ms
+        except Exception as e:
+            floor_failed = floor_failed or f"{type(e).__name__}: {e}"
     detail = {
         "num_nodes": int(n),
         "nnz": nnz,
@@ -816,6 +909,7 @@ def bench_epoch_wiki(epochs=10):
         "hub_nnz_fwd": hub_f,
         "hoist_first": bool(cfg.resolve_hoist()),
         "reorder": cfg.reorder,
+        "remat_recompute_traversals": remat_traversals,
         "device_peak_gb": peak_gb,
         "epochs": epochs,
         "device": str(jax.devices()[0]),
@@ -823,7 +917,8 @@ def bench_epoch_wiki(epochs=10):
     if floor_failed is None:
         try:  # any width not pre-cached is measured post-train — guard
             detail.update(
-                _floor_fields(n, passes, epoch_ms, cfg.spmm_dtype)
+                _floor_fields(n, passes, epoch_ms, cfg.spmm_dtype,
+                              extra_terms=extra_terms)
             )
         except Exception as e:
             floor_failed = f"{type(e).__name__}: {e}"
