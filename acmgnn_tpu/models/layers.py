@@ -83,6 +83,26 @@ def _make_mm(gemm_dtype):
 HOIST_MAX_COLS = 128
 
 
+def _ln_mode() -> str:
+    """Attention-LayerNorm lowering: ``ACMGNN_LN_MODE`` in
+    {"proj", "modules", "batched"} (default proj — see _make_lns).
+    Legacy ``ACMGNN_LN_FUSED`` maps 1 -> batched, 0 -> modules when
+    ACMGNN_LN_MODE is unset."""
+    import os
+
+    mode = os.environ.get("ACMGNN_LN_MODE")
+    if mode is None:
+        legacy = os.environ.get("ACMGNN_LN_FUSED")
+        if legacy == "1":
+            return "batched"
+        if legacy == "0":
+            return "modules"
+        return "proj"
+    if mode not in ("proj", "modules", "batched"):
+        raise ValueError(f"unknown ACMGNN_LN_MODE: {mode!r}")
+    return mode
+
+
 class _LNParams(nn.Module):
     """Parameter shell matching ``nn.LayerNorm``'s ``{scale, bias}``
     variable tree, so the fused batched LayerNorm below keeps the exact
@@ -132,25 +152,23 @@ class ACMConv(nn.Module):
         """LayerNorm state for the attention inputs (create once per
         call even when attention runs for both the train/eval branches).
 
-        Default (ACMGNN_LN_FUSED=0): per-channel nn.LayerNorm modules.
-        ACMGNN_LN_FUSED=1 switches to ``_LNParams`` shells — same
-        ``layer_norm_<nm>/{scale,bias}`` variable tree — consumed by ONE
-        batched [N, T, d] normalization in ``_attention`` (one mean/var
-        pass; same math, eps 1e-5, flax fast-variance formula;
-        parameters are interchangeable between the two forms).
+        Three interchangeable forms share one
+        ``layer_norm_<nm>/{scale,bias}`` parameter tree
+        (``ACMGNN_LN_MODE``, see ``_ln_mode``):
 
-        MEASURED SLOWER on TPU v5e and therefore default-off: the
-        ``jnp.stack`` materializes a [N, T, d] copy of the channels that
-        the per-channel form never builds, and XLA does not fuse it away
-        — penn94_pp 95.9 (fused) vs 94.6 ms (per-channel), headline
-        139.9 vs ~135.6 (bench_r5_records r5_penn94_pp[_lnmod],
-        r5_headline*).  Kept as a knob: the batched form wins where
-        normalization-kernel dispatch dominates (many tiny graphs), not
-        where HBM bandwidth does (these scenarios)."""
-        import os
-
+        - ``proj`` (default): ``_LNParams`` shells consumed by the
+          PROJECTED LayerNorm in ``_attention`` -- the normalized
+          channels only feed rank-1 score projections, so LN collapses
+          to row moments + one GEMV and the [N, d] normalized tensor is
+          never materialized.
+        - ``modules``: per-channel nn.LayerNorm (the r4 shipping form).
+        - ``batched``: one stacked [N, T, d] normalization -- measured
+          SLOWER on TPU v5e (penn94_pp 95.9 vs 94.6 ms, headline 139.9
+          vs ~135.6; bench_r5_records r5_penn94_pp[_lnmod],
+          r5_headline*): the ``jnp.stack`` materializes a channel copy
+          XLA does not fuse away.  Kept for A/B."""
         names = ["low", "high", "mlp", "struc_low"][:t]
-        if os.environ.get("ACMGNN_LN_FUSED", "0") == "1":
+        if _ln_mode() in ("proj", "batched"):
             return [
                 _LNParams(f_out, name=f"layer_norm_{nm}")()
                 for nm in names
@@ -181,12 +199,43 @@ class ACMConv(nn.Module):
         if self.use_layernorm:
             if ln_mods is None:
                 ln_mods = self._make_lns(t, channels[0].shape[-1])
+            if isinstance(ln_mods[0], tuple) and _ln_mode() == "proj":
+                # Projected LayerNorm (default): the normalized channels
+                # are consumed ONLY by the rank-1 score projections, so
+                # LN-then-project collapses algebraically to
+                # project-then-normalize-SCALARS —
+                #   LN(H)·a = (H·(scale⊙a) − mean(H)·Σ(scale⊙a))
+                #             / sqrt(var(H)+eps) + bias·a
+                # — one GEMV + row moments per channel, and the [N, d]
+                # normalized tensor is never materialized (the batched-
+                # stack form was measured SLOWER for exactly that copy;
+                # see _make_lns).  Same math (flax fast-variance, eps
+                # 1e-5) to float association; ACMGNN_LN_MODE selects
+                # proj|batched|modules for A/B.
+                parts = []
+                for i in range(t):
+                    s_i, b_i = ln_mods[i]
+                    h = channels[i]
+                    v = s_i[:, None] * att_vecs[i]          # [d, 1]
+                    mu = jnp.mean(h, axis=-1, keepdims=True)
+                    var = jnp.maximum(
+                        jnp.mean(jnp.square(h), axis=-1, keepdims=True)
+                        - jnp.square(mu),
+                        0.0,
+                    )
+                    score = (h @ v - mu * jnp.sum(v)) * jax.lax.rsqrt(
+                        var + 1e-5
+                    ) + b_i @ att_vecs[i]
+                    parts.append(score)
+                scores = jnp.concatenate(parts, axis=1)  # [N, T]
+                logits = (jax.nn.sigmoid(scores) @ att_mix) / t
+                return jax.nn.softmax(logits, axis=1)
             if isinstance(ln_mods[0], tuple):
-                # fused batched LayerNorm: one mean/var pass over the
-                # stacked [N, T, d] channels (flax fast-variance math,
-                # eps 1e-5) — replaces T separate normalizations whose
-                # small kernels showed up in the penn94_pp/headline
-                # traces (VERDICT r4 item #4)
+                # fused batched LayerNorm (ACMGNN_LN_MODE=batched): one
+                # mean/var pass over the stacked [N, T, d] channels
+                # (flax fast-variance math, eps 1e-5).  Measured slower
+                # than per-channel modules on TPU v5e (the stack
+                # materializes a channel copy) — kept for A/B.
                 stack = jnp.stack(channels, axis=1)
                 mu = jnp.mean(stack, axis=-1, keepdims=True)
                 var = jnp.maximum(

@@ -233,19 +233,32 @@ def test_fused_ln_matches_per_channel_modules(small_graph, monkeypatch):
         use_layernorm=True, nnodes=n,
     )
     x = jnp.asarray(features)
-    monkeypatch.setenv("ACMGNN_LN_FUSED", "1")
+    monkeypatch.setenv("ACMGNN_LN_MODE", "batched")
     got_fused = np.asarray(layer.apply(params, x, ops))
-    monkeypatch.setenv("ACMGNN_LN_FUSED", "0")
+    monkeypatch.setenv("ACMGNN_LN_MODE", "modules")
     got_mods = np.asarray(layer.apply(params, x, ops))
     np.testing.assert_allclose(got_fused, got_mods, rtol=1e-5, atol=1e-5)
+    # projected form (default): LN-then-project == project-then-
+    # normalize-scalars — the [N, d] normalized tensor is never built
+    monkeypatch.setenv("ACMGNN_LN_MODE", "proj")
+    got_proj = np.asarray(layer.apply(params, x, ops))
+    np.testing.assert_allclose(got_proj, got_mods, rtol=1e-5, atol=1e-5)
     # gradients agree too (the fused form is on the backward path)
     def loss(fn_params):
         return jnp.sum(jnp.square(layer.apply(fn_params, x, ops)))
 
-    monkeypatch.setenv("ACMGNN_LN_FUSED", "1")
+    monkeypatch.setenv("ACMGNN_LN_MODE", "batched")
     g_fused = jax.grad(loss)(params)
-    monkeypatch.setenv("ACMGNN_LN_FUSED", "0")
+    monkeypatch.setenv("ACMGNN_LN_MODE", "proj")
+    g_proj = jax.grad(loss)(params)
+    monkeypatch.setenv("ACMGNN_LN_MODE", "modules")
     g_mods = jax.grad(loss)(params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
+        ),
+        g_proj, g_mods,
+    )
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
