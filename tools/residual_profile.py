@@ -95,7 +95,12 @@ def build_scenario(scenario):
         loss="bce" if spec.get("rocauc") else "nll",
         operator_format="ell",
         spmm_dtype=os.environ.get("ACMGNN_BENCH_DTYPE", "bfloat16"),
-        gemm_dtype=os.environ.get("ACMGNN_BENCH_GEMM", "float32"),
+        # default to the SCENARIO's gemm dtype (penn94/penn94_pp bench
+        # with bf16 GEMMs — profiling them at f32 attributed a config
+        # the bench doesn't ship)
+        gemm_dtype=os.environ.get(
+            "ACMGNN_BENCH_GEMM", spec.get("gemm", "float32")
+        ),
         joint=(os.environ.get("ACMGNN_BENCH_JOINT", "0" if wiki else "1")
                == "1"),
         hoist_first=(
