@@ -349,27 +349,31 @@ def _measure_wiki_gemm_set_ms(n, f, hidden, gemm_dtype, remat, reps=3):
     import jax.numpy as jnp
 
     rng = np.random.default_rng(11)
-    x = jnp.asarray(rng.normal(size=(n, f)).astype(np.float32))
-    w = jnp.asarray(rng.normal(size=(f, hidden)).astype(np.float32))
-    g = jnp.asarray(rng.normal(size=(n, hidden)).astype(np.float32))
+    # device arrays passed as ARGUMENTS — a closed-over [N, F] operand
+    # would be captured as a 4.6 GB program CONSTANT and shipped with
+    # the lowered program over the tunnel (observed: 5.11 GB constant-
+    # capture warning + minutes of lowering)
+    x = jax.device_put(rng.normal(size=(n, f)).astype(np.float32))
+    w = jax.device_put(rng.normal(size=(f, hidden)).astype(np.float32))
+    g = jax.device_put(rng.normal(size=(n, hidden)).astype(np.float32))
     op_dtype = jnp.bfloat16 if gemm_dtype == "bfloat16" else jnp.float32
     n_fwd = 9 if remat else 6  # train fwd + eval fwd (+ remat recompute)
 
     def make(k):
-        def body(s):
+        def body(x_, w_, g_, s):
             acc = jnp.zeros((), jnp.float32)
             for rep in range(k):
                 for i in range(n_fwd):
                     z = jnp.dot(
-                        (x * (s + rep * 31 + i)).astype(op_dtype),
-                        w.astype(op_dtype),
+                        (x_ * (s + rep * 31 + i)).astype(op_dtype),
+                        w_.astype(op_dtype),
                         preferred_element_type=jnp.float32,
                     )
                     acc = acc + jnp.sum(z)
                 for i in range(3):  # dW transposes
                     dw = jax.lax.dot_general(
-                        (x * (s + rep * 31 + 17 + i)).astype(op_dtype),
-                        g.astype(op_dtype),
+                        (x_ * (s + rep * 31 + 17 + i)).astype(op_dtype),
+                        g_.astype(op_dtype),
                         (((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )
@@ -379,12 +383,14 @@ def _measure_wiki_gemm_set_ms(n, f, hidden, gemm_dtype, remat, reps=3):
         return jax.jit(body)
 
     def best_ms(fn, base):
-        jax.device_get(fn(jnp.asarray(base, jnp.float32)))
+        jax.device_get(fn(x, w, g, jnp.asarray(base, jnp.float32)))
         best = float("inf")
         for i in range(reps):
             t0 = time.perf_counter()
-            jax.device_get(fn(jnp.asarray(base + 100.0 * (i + 1),
-                                          jnp.float32)))
+            jax.device_get(
+                fn(x, w, g,
+                   jnp.asarray(base + 100.0 * (i + 1), jnp.float32))
+            )
             best = min(best, time.perf_counter() - t0)
         return 1000.0 * best
 

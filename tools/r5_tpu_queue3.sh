@@ -25,5 +25,6 @@ python -u tools/residual_profile.py --scenario epoch_penn94_pp \
 echo "penn94_pp profile rc=$?"
 run r5_penn94_pp_proj  python -u bench.py --scenario epoch_penn94_pp
 run r5_headline_proj   python -u bench.py --scenario epoch
+run r5_wiki            python -u bench.py --scenario epoch_wiki
 run r5_wiki_rcm        env ACMGNN_BENCH_REORDER_WIKI=rcm python -u bench.py --scenario epoch_wiki
 echo "=== done $(date +%T) ==="
