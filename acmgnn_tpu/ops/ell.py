@@ -449,13 +449,15 @@ def make_ell_op(
     # Value-free halves have no value planes, so the pad-vs-bucket-count
     # tradeoff shifts: pad slots cost a full descriptor fetch but save
     # zero value-plane bytes (there are none), so a TIGHTER bucket ratio
-    # (fewer pad slots, more buckets) can pay where the valued default
-    # (0.75) would have doubled both planes' bucket overhead.  Default
-    # keeps the valued ratio; override via ACMGNN_ELL_VF_RATIO for the
-    # measured A/B (VERDICT r4 item #6).
-    vf_ratio = float(
-        os.environ.get("ACMGNN_ELL_VF_RATIO", str(bucket_ratio))
-    )
+    # (fewer pad slots, more buckets) pays.  MEASURED (TPU v5e,
+    # bench_r5_records r5_*_vf090/095/098 vs the 0.75 records):
+    # headline 135.7 -> 113.2 (0.90) -> 111.4 ms (0.95) but 121.7 at
+    # 0.98 (scan dispatch overtakes); penn94 52.7 -> 47.3 -> 44.5;
+    # arxiv-year 40.7 -> 32.7 (0.90 ~ 0.95).  Default 0.95 for
+    # value-free halves (VERDICT r4 item #6 closed as a -16..-20% WIN,
+    # not a ruling-out); valued halves keep the 0.75 default — their
+    # pad slots carry value-plane bytes too.
+    vf_ratio = float(os.environ.get("ACMGNN_ELL_VF_RATIO", "0.95"))
 
     def build(m, uniform_scale=None, scale_mode="post"):
         return _build_half(
