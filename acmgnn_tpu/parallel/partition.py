@@ -139,6 +139,20 @@ def degree_balanced_partition(adj: sp.spmatrix, n_parts: int) -> np.ndarray:
     return part
 
 
+def ell_class_widths(maxdeg: int, ratio: float) -> np.ndarray:
+    """Ascending ELL degree-class width grid: ``width_{c+1} =
+    max(width_c + 1, ceil(width_c / ratio))``.  ``ratio=0.5`` reproduces
+    the power-of-two grid (1, 2, 4, ...); tighter ratios bound the
+    per-class pad expansion to ~1/ratio at the cost of ~log_{1/r}(maxdeg)
+    classes (empty classes build no planes).  The class of a row with
+    local degree d is ``searchsorted(widths, d, "left")``."""
+    widths = [1]
+    while widths[-1] < max(int(maxdeg), 1):
+        w = widths[-1]
+        widths.append(max(w + 1, int(np.ceil(w / ratio))))
+    return np.asarray(widths, np.int64)
+
+
 def sharded_ell_work_accounting(
     adj_op: sp.spmatrix,
     n_parts: int,
@@ -165,6 +179,8 @@ def sharded_ell_work_accounting(
     - ``hub_mxu_macs``: per-device hub matmul MACs per operand column
       (hub_rows_padded * width) — paid by EVERY device
     """
+    import os
+
     csr = sp.csr_matrix(adj_op)
     n = csr.shape[0]
     if boundaries is None:
@@ -182,27 +198,32 @@ def sharded_ell_work_accounting(
         )
     n_hub = int(hub_p.max()) if hub_threshold > 0 else 0
     # class arithmetic as in build_sharded_ell: hub rows excluded, class
-    # c packs local degrees in (2^(c-1), 2^c]
+    # c packs local degrees in (widths[c-1], widths[c]] on the same
+    # geometric grid (production path is value-free -> vf ratio)
+    class_ratio = float(os.environ.get("ACMGNN_ELL_VF_RATIO", "0.95"))
     cls_counts = []
     plane_nnz_p = np.zeros(n_parts, np.int64)
+    maxdeg = 0
+    degs_nohub = []
     for p, d in enumerate(parts_deg):
         d = d.copy()
         if hub_threshold > 0 and hub_p[p]:
             hub_rows = np.argsort(-d, kind="stable")[: int(hub_p[p])]
             d[hub_rows] = 0
+        degs_nohub.append(d)
         plane_nnz_p[p] = int(d.sum())
+        maxdeg = max(maxdeg, int(d.max()) if d.size else 0)
+    widths = ell_class_widths(maxdeg, class_ratio)
+    ncls = len(widths)
+    for d in degs_nohub:
         nz = d > 0
-        c = np.zeros(d.shape, np.int64)
-        c[nz] = np.ceil(np.log2(d[nz])).astype(np.int64)
-        cls_counts.append(np.bincount(c[nz]))
-    ncls = max((len(c) for c in cls_counts), default=1)
+        c = np.searchsorted(widths, d[nz], side="left")
+        cls_counts.append(np.bincount(c, minlength=ncls))
     class_rows = np.zeros((n_parts, ncls), np.int64)
     for p, c in enumerate(cls_counts):
         class_rows[p, : len(c)] = c
     padded_rows_c = class_rows.max(axis=0)
-    padded_fetches = int(
-        (padded_rows_c * (1 << np.arange(ncls))).sum()
-    )
+    padded_fetches = int((padded_rows_c * widths).sum())
     rpp = int(np.max(np.diff(boundaries)))
     return {
         "nnz": nnz_p,
@@ -522,16 +543,34 @@ def build_sharded_ell(
                         hub_src = (hub_src != 0).astype(np.float32)
                     hub_mat[p, : hr.size] = hub_src
 
-    # degree class per row: width 2^c covers (2^(c-1), 2^c]; hub rows are
-    # marked -1 (handled by the dense block, excluded from every plane)
+    # degree class per row: class c packs at width widths[c] and covers
+    # (widths[c-1], widths[c]]; hub rows are marked -1 (handled by the
+    # dense block, excluded from every plane).  The width grid is
+    # geometric with the class ratio (0.5 = the old power-of-two grid):
+    # value-free halves default to the MEASURED single-chip optimum
+    # 0.95 (pad slots cost a descriptor fetch but zero value-plane
+    # bytes — headline 135.7 -> 111.4 ms; see ops/ell.py make_ell_op),
+    # valued halves keep 0.5 (their pads carry value bytes and the
+    # doubled plane count costs HBM).
+    import os
+
+    if value_free:
+        class_ratio = float(
+            os.environ.get("ACMGNN_ELL_VF_RATIO", "0.95")
+        )
+    else:
+        class_ratio = 0.5
     cls_deg = degs.copy()
     for p in range(n_parts):
         cls_deg[p][hub_rows_sel[p]] = 0
     maxdeg = int(cls_deg.max()) if cls_deg.size else 0
-    ncls = int(np.ceil(np.log2(maxdeg))) + 1 if maxdeg > 1 else 1
+    widths = ell_class_widths(maxdeg, class_ratio)
+    ncls = len(widths)
     cls = np.full_like(degs, -1)
     nz = cls_deg > 0
-    cls[nz] = np.ceil(np.log2(cls_deg[nz])).astype(degs.dtype)
+    cls[nz] = np.searchsorted(widths, cls_deg[nz], side="left").astype(
+        degs.dtype
+    )
     for p in range(n_parts):
         cls[p][hub_rows_sel[p]] = -1
     counts = np.stack(
@@ -550,13 +589,16 @@ def build_sharded_ell(
             offsets.append(off)
             plane_meta.append(None)
             continue
-        k_c = 1 << c
+        k_c = int(widths[c])
         # scan-chunk sizing as in ops/ell.py: grow kc while each scan
         # step stays under the fetch budget; narrow classes keep width
         kc_b = kc
         while kc_b < k_c and int(n_rows_c[c]) * kc_b < chunk_fetches:
             kc_b *= 2
         kc_b = min(kc_b, k_c)
+        # geometric widths need not divide by kc_b — pad the slot axis
+        # up to a whole number of scan chunks (ops/ell.py does the same)
+        k_c = -(-k_c // kc_b) * kc_b
         nchunks = k_c // kc_b
         # value-free pad slots index the appended zero row of the
         # operand concat (index == width); valued pad slots index 0
